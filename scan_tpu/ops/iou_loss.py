@@ -1,0 +1,35 @@
+"""IoU regression loss for FCOS ltrb offsets.
+
+Parity target: reference ``fcos_core/layers/iou_loss.py:5-36`` — log-IoU loss
+with the `+1.0` smoothing in numerator/denominator, optionally weighted by
+centerness with weight-sum normalisation.
+"""
+
+import jax.numpy as jnp
+
+
+def iou_loss(pred, target, weight=None, valid_mask=None):
+    """pred/target: (N, 4) ltrb distances (all >= 0). Returns scalar."""
+    pl, pt, pr, pb = pred[:, 0], pred[:, 1], pred[:, 2], pred[:, 3]
+    tl, tt, tr, tb = target[:, 0], target[:, 1], target[:, 2], target[:, 3]
+
+    target_area = (tl + tr) * (tt + tb)
+    pred_area = (pl + pr) * (pt + pb)
+
+    w_intersect = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    h_intersect = jnp.minimum(pb, tb) + jnp.minimum(pt, tt)
+
+    area_intersect = w_intersect * h_intersect
+    area_union = target_area + pred_area - area_intersect
+
+    losses = -jnp.log((area_intersect + 1.0) / (area_union + 1.0))
+
+    if valid_mask is not None:
+        m = valid_mask.astype(losses.dtype)
+    else:
+        m = jnp.ones_like(losses)
+
+    if weight is not None:
+        w = weight * m
+        return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1e-6)
+    return jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)

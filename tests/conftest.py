@@ -1,0 +1,18 @@
+"""Test harness: force JAX onto CPU with 8 virtual devices so sharding
+tests exercise a real multi-device mesh without TPU hardware.
+
+The environment's sitecustomize force-registers the axon TPU platform and
+sets jax_platforms='axon,cpu'; overriding the config after import is the
+reliable way to pin tests to CPU."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
