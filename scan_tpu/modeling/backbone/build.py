@@ -1,0 +1,103 @@
+"""Backbone factory registry.
+
+Parity target: reference ``fcos_core/modeling/backbone/backbone.py:21-143``.
+Each builder returns a flax Module mapping (B, H, W, 3) -> tuple of NHWC
+pyramid levels (P3..P7 for the *-FPN-RETINANET bodies).
+"""
+
+from typing import Optional, Sequence
+
+from flax import linen as nn
+
+from ...utils.registry import Registry
+from .fpn import FPN
+from .resnet import ResNet
+from .vgg import VGG16
+
+BACKBONES = Registry()
+
+
+class _BackboneWithFPN(nn.Module):
+    body_cls: type
+    body_kwargs: dict
+    fpn_kwargs: dict
+    dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = self.body_cls(
+            dtype=self.dtype, name="body", **self.body_kwargs
+        )(x)
+        return FPN(dtype=self.dtype, name="fpn", **self.fpn_kwargs)(feats)
+
+
+@BACKBONES.register("VGG-16-FPN-RETINANET")
+def build_vgg_fpn_backbone(cfg, dtype=None):
+    return _BackboneWithFPN(
+        body_cls=VGG16,
+        body_kwargs=dict(frozen_stages=2, with_bn=cfg.MODEL.BACKBONE.VGG_W_BN),
+        fpn_kwargs=dict(
+            in_features=(2, 3, 4),
+            out_channels=256,
+            top_block="p6p7",
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+            use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,
+        ),
+        dtype=dtype,
+    )
+
+
+@BACKBONES.register("R-50-FPN-RETINANET")
+@BACKBONES.register("R-101-FPN-RETINANET")
+def build_resnet_fpn_p3p7_backbone(cfg, dtype=None):
+    depth = 101 if "101" in cfg.MODEL.BACKBONE.CONV_BODY else 50
+    out_channels = cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS
+    return _BackboneWithFPN(
+        body_cls=ResNet,
+        body_kwargs=dict(
+            depth=depth,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+            stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+            res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+            stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        ),
+        fpn_kwargs=dict(
+            in_features=(1, 2, 3),  # C3, C4, C5
+            out_channels=out_channels,
+            top_block="p6p7",
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+            use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,
+        ),
+        dtype=dtype,
+    )
+
+
+@BACKBONES.register("R-50-FPN")
+@BACKBONES.register("R-101-FPN")
+def build_resnet_fpn_backbone(cfg, dtype=None):
+    depth = 101 if "101" in cfg.MODEL.BACKBONE.CONV_BODY else 50
+    return _BackboneWithFPN(
+        body_cls=ResNet,
+        body_kwargs=dict(
+            depth=depth,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+            stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        ),
+        fpn_kwargs=dict(
+            in_features=(0, 1, 2, 3),
+            out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+            top_block="maxpool",
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+        ),
+        dtype=dtype,
+    )
+
+
+def build_backbone(cfg, dtype=None):
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    if body not in BACKBONES:
+        raise KeyError(f"Unknown backbone: {body}")
+    return BACKBONES[body](cfg, dtype=dtype)

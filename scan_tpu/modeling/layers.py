@@ -1,0 +1,165 @@
+"""Shared flax.linen building blocks.
+
+Initialisation conventions follow the reference:
+  * head convs: Normal(std=0.01), zero bias (reference fcos.py:67-73)
+  * FPN convs: kaiming_uniform(a=1) (reference modeling/make_layers.py)
+  * GroupNorm(32) with eps 1e-5 (torch default)
+Layout is NHWC throughout (TPU-native).
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def normal_init(std=0.01):
+    return nn.initializers.normal(stddev=std)
+
+
+def kaiming_uniform_a1():
+    """torch.nn.init.kaiming_uniform_(w, a=1) for conv kernels.
+
+    bound = sqrt(6 / ((1 + a^2) * fan_in)) = sqrt(3 / fan_in).
+    flax kernel shape (kh, kw, in, out): fan_in = kh*kw*in.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = int(np.prod(shape[:-1]))
+        bound = float(np.sqrt(3.0 / fan_in))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv with explicit init and optional stride, NHWC."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = normal_init(0.01)
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=self.kernel_size // 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class GroupNorm32(nn.Module):
+    num_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype
+        )(x)
+
+
+class ConvTower(nn.Module):
+    """num_convs x [conv3x3 -> (GN) -> ReLU]; the FCOS/discriminator tower."""
+
+    num_convs: int
+    features: int
+    norm: str = "GN"  # 'GN' | 'NONE'
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            x = Conv(self.features, 3, dtype=self.dtype, name=f"conv{i}")(x)
+            if self.norm == "GN":
+                x = GroupNorm32(dtype=self.dtype, name=f"gn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (reference layers/scale.py:5-11)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "scale", lambda k: jnp.asarray([self.init_value], jnp.float32)
+        )
+        return x * scale
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics (reference layers/batch_norm.py:6-25).
+
+    Stats and affine params live in the 'params' collection but receive no
+    gradient (stop_gradient) — they are loaded from pretrained checkpoints.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        weight, bias, mean, var = (
+            jax.lax.stop_gradient(t) for t in (weight, bias, mean, var)
+        )
+        scale = weight * jax.lax.rsqrt(var + 1e-5)
+        return x * scale + (bias - mean * scale)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Multi-head attention over sampled graph nodes.
+
+    Parity target: reference ``layers/transformer.py:36-91`` — separate
+    q/k/v linears, scaled dot-product with the reference's idiosyncratic
+    scale ((dim_per_head // num_heads) ** -0.5), output linear, residual +
+    LayerNorm. Dropout is inference-disabled here (the DA loop trains with
+    the default dropout=0.1 but node counts are small; we expose the rate).
+    """
+
+    model_dim: int = 256
+    num_heads: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        # x: (N, D) nodes; mask: (N,) validity
+        d = self.model_dim
+        h = self.num_heads
+        dh = d // h
+        q = nn.Dense(d, name="linear_q")(x)
+        k = nn.Dense(d, name="linear_k")(x)
+        v = nn.Dense(d, name="linear_v")(x)
+        n = x.shape[0]
+        q = q.reshape(n, h, dh).transpose(1, 0, 2)  # (h, N, dh)
+        k = k.reshape(n, h, dh).transpose(1, 0, 2)
+        v = v.reshape(n, h, dh).transpose(1, 0, 2)
+        # reference scale: (dim_per_head // num_heads) ** -0.5
+        scale = float(max(dh // h, 1)) ** -0.5
+        attn = jnp.einsum("hnd,hmd->hnm", q, k, preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            attn = jnp.where(mask[None, None, :], attn, -1e30)
+        attn = jax.nn.softmax(attn, axis=-1)
+        ctx = jnp.einsum("hnm,hmd->hnd", attn, v, preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(1, 0, 2).reshape(n, d)
+        out = nn.Dense(d, name="linear_final")(ctx)
+        out = nn.LayerNorm(name="layer_norm")(x + out)
+        return out

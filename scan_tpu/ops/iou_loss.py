@@ -22,12 +22,16 @@ def iou_loss(pred, target, weight=None, valid_mask=None):
     area_intersect = w_intersect * h_intersect
     area_union = target_area + pred_area - area_intersect
 
-    losses = -jnp.log((area_intersect + 1.0) / (area_union + 1.0))
-
+    ratio = (area_intersect + 1.0) / (area_union + 1.0)
     if valid_mask is not None:
-        m = valid_mask.astype(losses.dtype)
+        m = valid_mask.astype(ratio.dtype)
+        # Padded rows can hold garbage (negative ltrb -> ratio <= 0); force
+        # them to a safe value BEFORE the log so masked NaNs can't leak
+        # through 0 * NaN.
+        ratio = jnp.where(valid_mask, ratio, 1.0)
     else:
-        m = jnp.ones_like(losses)
+        m = jnp.ones_like(ratio)
+    losses = -jnp.log(jnp.maximum(ratio, 1e-12))
 
     if weight is not None:
         w = weight * m
