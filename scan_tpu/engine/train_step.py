@@ -1,0 +1,144 @@
+"""The fused DA training step.
+
+Parity target: reference ``fcos_core/engine/trainer.py:241-424``. The
+reference runs three sequential ``backward()`` calls (G-source with
+retain_graph, D-source, D-target+GST) and then steps every optimizer once.
+Because all optimizers step exactly once per iteration, the accumulated
+gradient equals the gradient of the SUM of all loss terms — so the
+TPU-native form is a single ``jax.value_and_grad`` over
+
+    L = L_G(source) + sum_l L_D(source, l) + [forward_target-gated]
+        (L_GST + L_node_tg) + sum_l L_D(target, l)
+
+with the gradient-reversal layers providing the adversarial sign exactly as
+in the reference. The AP50 gate on the target GST pass
+(``trainer.py:350``) changes which subgraphs exist, so two step variants are
+compiled (forward_target static).
+
+Data parallelism: the step is written with optional ``axis_name``; under
+``shard_map``/pmap the gradients AND the batch prototype means are pmean'd
+— fixing the reference's prototype-desync that restricted it to one GPU
+(reference README.md:79).
+"""
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..modeling.detector import SCANDetector
+
+
+def make_da_train_step(detector: SCANDetector, optimizer,
+                       axis_name: Optional[str] = None):
+    """Returns train_step(params, opt_state, proto_state, batch_s, batch_t,
+    forward_target) -> (params, opt_state, proto_state, metrics).
+
+    batch_s: dict(images, sizes, boxes, labels, mask); batch_t: dict(images).
+    forward_target must be a static python bool at trace time.
+    """
+
+    def loss_fn(params, proto_state, batch_s, batch_t, forward_target: bool):
+        metrics = {}
+        targets = {
+            "boxes": batch_s["boxes"],
+            "labels": batch_s["labels"],
+            "mask": batch_s["mask"],
+        }
+        # ---- (1) G on source ----
+        losses_s, feats_s, act_s, score_maps_s, new_proto = (
+            detector.forward_train(
+                params, proto_state, batch_s["images"], targets, "source"
+            )
+        )
+        metrics.update({k + "_gs": v for k, v in losses_s.items()})
+
+        # ---- (2) D on source ----
+        d_src = detector.discriminator_losses(
+            params, feats_s, act_s, score_maps_s, 1.0, "source"
+        )
+        metrics.update(d_src)
+
+        # ---- (3) target: GST (gated) + D ----
+        d_tgt = {}
+        losses_t = {}
+        if detector.cfg.MODEL.DA_ON:
+            losses_t, feats_t, act_t, score_maps_t, _ = detector.forward_train(
+                params, new_proto, batch_t["images"], None, "target",
+                forward_target=forward_target,
+            )
+            metrics.update({k + "_gt": v for k, v in losses_t.items()})
+            d_tgt = detector.discriminator_losses(
+                params, feats_t, act_t, score_maps_t, 0.0, "target"
+            )
+            metrics.update(d_tgt)
+
+        total = sum(losses_s.values())
+        total = total + sum(d_src.values()) + sum(d_tgt.values())
+        total = total + sum(losses_t.values())
+        metrics["loss_total"] = total
+        return total, (metrics, new_proto)
+
+    def train_step(params, opt_state, proto_state, batch_s, batch_t,
+                   forward_target: bool = False):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_proto)), grads = grad_fn(
+            params, proto_state, batch_s, batch_t, forward_target
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            if new_proto is not None:
+                new_proto = type(new_proto)(
+                    jax.lax.pmean(new_proto.prototype, axis_name),
+                    new_proto.counter,
+                )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_proto, metrics
+
+    if axis_name is None:
+        train_step = jax.jit(train_step, static_argnames=("forward_target",))
+    return train_step
+
+
+def make_source_only_train_step(detector: SCANDetector, optimizer,
+                                axis_name: Optional[str] = None):
+    """Plain (non-DA) training step (reference trainer.py:153-240 /
+    tools/train_net.py)."""
+
+    def loss_fn(params, proto_state, batch):
+        targets = {
+            "boxes": batch["boxes"],
+            "labels": batch["labels"],
+            "mask": batch["mask"],
+        }
+        losses, _, _, _, new_proto = detector.forward_train(
+            params, proto_state, batch["images"], targets, "source"
+        )
+        total = sum(losses.values())
+        losses["loss_total"] = total
+        return total, (losses, new_proto)
+
+    def train_step(params, opt_state, proto_state, batch):
+        (loss, (metrics, new_proto)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, proto_state, batch)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            if new_proto is not None:
+                new_proto = type(new_proto)(
+                    jax.lax.pmean(new_proto.prototype, axis_name),
+                    new_proto.counter,
+                )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_proto, metrics
+
+    if axis_name is None:
+        train_step = jax.jit(train_step)
+    return train_step
+
