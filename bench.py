@@ -1,0 +1,75 @@
+"""Headline benchmark: detection inference throughput (images/sec/chip).
+
+Flagship config: SCAN VGG16-FPN + condgraph middle head + FCOS, TEST.MODE
+'precision', 800x1333 input (padded 800x1344), bfloat16 conv towers.
+Baseline north star (BASELINE.md): >= 300 images/sec/chip on TPU v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 300.0
+
+
+def main():
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.modeling.detector import build_detector
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs", "scan", "scan_vgg16_cityscapace_to_foggy.yaml",
+        )
+    )
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 800, 1344  # 800x1333 padded to /32
+
+    det = build_detector(cfg)
+    images = jnp.zeros((1, h, w, 3), jnp.float32)
+    params, proto = det.init_params(jax.random.PRNGKey(0), images)
+
+    rng = np.random.RandomState(0)
+    batch_images = jnp.asarray(
+        rng.randn(batch, h, w, 3).astype(np.float32) * 30 + 100
+    )
+    sizes = jnp.asarray([[800, 1333]] * batch, jnp.int32)
+
+    fwd = jax.jit(
+        lambda p, s, im, sz: det.forward_inference(p, s, im, sz)
+    )
+
+    # warmup / compile
+    out = fwd(params, proto, batch_images, sizes)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, proto, batch_images, sizes)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fcos_vgg16_condgraph_inference_800x1333",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

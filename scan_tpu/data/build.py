@@ -1,0 +1,231 @@
+"""Dataset factories and fixed-shape batch loaders.
+
+Parity target: reference ``fcos_core/data/build.py:107-321``
+(make_data_loader{,_source,_target}): catalog-resolved datasets, infinite
+iteration-based sampling for the DA streams, aspect-ratio-aware batching.
+
+TPU-native batching: instead of pad-to-batch-max (dynamic shapes), every
+batch is padded to a static bucket (H, W) chosen from the dataset's resize
+envelope, and GT is padded to TPU.MAX_BOXES with a validity mask. One
+bucket per (dataset, min/max size) combination keeps XLA recompiles to a
+handful. Loading runs in background threads with a bounded prefetch queue.
+"""
+
+import math
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config.paths_catalog import DatasetCatalog
+from .datasets.coco import COCODataset
+from .datasets.voc_xml import KittiDataset, PascalVOCDataset, Sim10kDataset
+from .transforms import Preprocessor, build_preprocessor, get_resize_hw
+
+FACTORIES = {
+    "COCODataset": COCODataset,
+    "PascalVOCDataset": PascalVOCDataset,
+    "Sim10kDataset": Sim10kDataset,
+    "KittiDataset": KittiDataset,
+}
+
+
+def build_dataset(name: str, is_train: bool):
+    spec = DatasetCatalog.get(name)
+    factory = FACTORIES[spec["factory"]]
+    args = dict(spec["args"])
+    if spec["factory"] == "COCODataset":
+        args["remove_images_without_annotations"] = is_train
+    elif is_train is False:
+        args["use_difficult"] = True
+    return factory(**args)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def compute_bucket_hw(dataset, cfg, is_train: bool):
+    """Max (H, W) over the dataset's resize envelope, rounded to /32."""
+    div = max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32)
+    if is_train:
+        if cfg.INPUT.MIN_SIZE_RANGE_TRAIN[0] == -1:
+            sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
+        else:
+            sizes = [cfg.INPUT.MIN_SIZE_RANGE_TRAIN[1]]
+        max_size = cfg.INPUT.MAX_SIZE_TRAIN
+    else:
+        sizes = [cfg.INPUT.MIN_SIZE_TEST]
+        max_size = cfg.INPUT.MAX_SIZE_TEST
+    best_h = best_w = 0
+    n = len(dataset)
+    # sample aspect ratios (cheap: img info only)
+    step = max(1, n // 256)
+    for i in range(0, n, step):
+        info = dataset.get_img_info(i)
+        for s in sizes:
+            oh, ow = get_resize_hw(info["width"], info["height"], s, max_size)
+            best_h = max(best_h, oh)
+            best_w = max(best_w, ow)
+    return _round_up(best_h, div), _round_up(best_w, div)
+
+
+class DetectionLoader:
+    """Yields fixed-shape numpy batches.
+
+    Train batches: images (B,H,W,3), sizes (B,2), boxes (B,G,4),
+    labels (B,G), mask (B,G). Eval batches additionally carry 'indices'
+    (dataset indices) and 'scales' (w_ratio, h_ratio back to original).
+    """
+
+    def __init__(self, dataset, cfg, is_train: bool, batch_size: int,
+                 max_iters: Optional[int] = None, seed: int = 1234,
+                 bucket_hw=None, num_threads: Optional[int] = None):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.is_train = is_train
+        self.batch_size = batch_size
+        self.max_iters = max_iters
+        self.seed = seed
+        self.max_boxes = cfg.TPU.MAX_BOXES
+        self.pre = build_preprocessor(cfg, is_train, seed=seed)
+        self.bucket_hw = bucket_hw or compute_bucket_hw(dataset, cfg, is_train)
+        self.num_threads = num_threads or cfg.TPU.LOADER_THREADS
+
+    def __len__(self):
+        if self.is_train:
+            return self.max_iters or 0
+        return math.ceil(len(self.dataset) / self.batch_size)
+
+    def _index_stream(self) -> Iterator[List[int]]:
+        n = len(self.dataset)
+        if self.is_train:
+            rng = np.random.RandomState(self.seed)
+            it = 0
+            while self.max_iters is None or it < self.max_iters:
+                order = rng.permutation(n)
+                for start in range(0, n - self.batch_size + 1, self.batch_size):
+                    if self.max_iters is not None and it >= self.max_iters:
+                        return
+                    yield list(order[start : start + self.batch_size])
+                    it += 1
+        else:
+            for start in range(0, n, self.batch_size):
+                yield list(range(start, min(start + self.batch_size, n)))
+
+    def _make_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
+        H, W = self.bucket_hw
+        bs = self.batch_size
+        images = np.zeros((bs, H, W, 3), np.float32)
+        sizes = np.zeros((bs, 2), np.int32)
+        boxes = np.zeros((bs, self.max_boxes, 4), np.float32)
+        labels = np.zeros((bs, self.max_boxes), np.int32)
+        mask = np.zeros((bs, self.max_boxes), bool)
+        scales = np.ones((bs, 2), np.float32)
+        idx_arr = np.full((bs,), -1, np.int64)
+        for slot, i in enumerate(indices):
+            img = self.dataset.load_image(i)
+            gt_boxes, gt_labels = self.dataset.get_raw_target(i)
+            oh0, ow0 = img.shape[:2]
+            img, gt_boxes, (oh, ow) = self.pre(img, gt_boxes)
+            if oh > H or ow > W:
+                raise ValueError(
+                    f"image {i} resized to ({oh},{ow}) exceeds bucket {self.bucket_hw}"
+                )
+            images[slot, :oh, :ow] = img
+            sizes[slot] = (oh, ow)
+            n = min(len(gt_labels), self.max_boxes)
+            if n:
+                boxes[slot, :n] = gt_boxes[:n]
+                labels[slot, :n] = gt_labels[:n]
+                mask[slot, :n] = True
+            scales[slot] = (ow0 / ow, oh0 / oh)
+            idx_arr[slot] = i
+        return dict(
+            images=images, sizes=sizes, boxes=boxes, labels=labels,
+            mask=mask, scales=scales, indices=idx_arr,
+        )
+
+    def __iter__(self):
+        """Background-threaded prefetching iterator."""
+        work_q: "queue.Queue" = queue.Queue(maxsize=self.num_threads * 2)
+        out: Dict[int, dict] = {}
+        out_lock = threading.Condition()
+        stop = threading.Event()
+
+        def producer():
+            for seq, indices in enumerate(self._index_stream()):
+                if stop.is_set():
+                    return
+                work_q.put((seq, indices))
+            work_q.put(None)
+
+        def worker():
+            while not stop.is_set():
+                item = work_q.get()
+                if item is None:
+                    work_q.put(None)  # propagate sentinel
+                    return
+                seq, indices = item
+                batch = self._make_batch(indices)
+                with out_lock:
+                    out[seq] = batch
+                    out_lock.notify_all()
+
+        threads = [threading.Thread(target=producer, daemon=True)]
+        threads += [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_threads)
+        ]
+        for t in threads:
+            t.start()
+
+        total = len(self) if len(self) else None
+        seq = 0
+        try:
+            while total is None or seq < total:
+                with out_lock:
+                    while seq not in out:
+                        alive = any(t.is_alive() for t in threads[1:])
+                        if not alive and seq not in out:
+                            return
+                        out_lock.wait(timeout=0.5)
+                    batch = out.pop(seq)
+                yield batch
+                seq += 1
+        finally:
+            stop.set()
+
+
+def make_data_loader_source(cfg, seed: int = 1234):
+    names = cfg.DATASETS.TRAIN_SOURCE
+    ds = build_dataset(names[0], is_train=True)
+    # each DA stream uses the full IMS_PER_BATCH (reference data/build.py:183)
+    return DetectionLoader(
+        ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
+        max_iters=cfg.SOLVER.MAX_ITER, seed=seed,
+    )
+
+
+def make_data_loader_target(cfg, seed: int = 1234):
+    names = cfg.DATASETS.TRAIN_TARGET
+    ds = build_dataset(names[0], is_train=True)
+    return DetectionLoader(
+        ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
+        max_iters=cfg.SOLVER.MAX_ITER, seed=seed + 1,
+    )
+
+
+def make_data_loader_train(cfg, seed: int = 1234):
+    names = cfg.DATASETS.TRAIN_SOURCE or cfg.DATASETS.TRAIN
+    ds = build_dataset(names[0], is_train=True)
+    return DetectionLoader(
+        ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
+        max_iters=cfg.SOLVER.MAX_ITER, seed=seed,
+    )
+
+
+def make_data_loader_test(cfg):
+    ds = build_dataset(cfg.DATASETS.TEST[0], is_train=False)
+    return DetectionLoader(ds, cfg, False, cfg.TEST.IMS_PER_BATCH)

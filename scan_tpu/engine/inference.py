@@ -1,0 +1,69 @@
+"""Evaluation loop: batched jitted inference + COCO/VOC evaluation.
+
+Parity target: reference ``fcos_core/engine/inference.py:15-123`` and the
+in-training validation path (``engine/validation.py``, ``trainer.py:100``).
+Predictions come back as fixed-shape masked arrays, are rescaled to original
+image coordinates on the host, and scored by the self-contained evaluator.
+"""
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..evaluation.coco_eval import evaluate_coco_dataset
+from ..evaluation.voc_eval import evaluate_voc_dataset
+
+logger = logging.getLogger("scan_tpu.inference")
+
+
+def compute_predictions(detector, params, proto_state, data_loader,
+                        progress_every: int = 50) -> Dict[int, dict]:
+    """Runs the model over an eval loader; returns index -> prediction dict
+    (boxes xyxy in ORIGINAL image coordinates, scores, labels)."""
+    fwd = jax.jit(
+        lambda p, s, im, sz: detector.forward_inference(p, s, im, sz)
+    )
+    predictions: Dict[int, dict] = {}
+    t0 = time.time()
+    n_img = 0
+    for bi, batch in enumerate(data_loader):
+        out = fwd(params, proto_state, batch["images"], batch["sizes"])
+        out = jax.device_get(out)
+        for slot in range(batch["images"].shape[0]):
+            index = int(batch["indices"][slot])
+            if index < 0:
+                continue
+            valid = out["valid"][slot]
+            boxes = out["boxes"][slot][valid]
+            scores = out["scores"][slot][valid]
+            labels = out["labels"][slot][valid]
+            sw, sh = batch["scales"][slot]
+            boxes = boxes * np.asarray([sw, sh, sw, sh], np.float32)
+            predictions[index] = dict(boxes=boxes, scores=scores, labels=labels)
+            n_img += 1
+        if progress_every and (bi + 1) % progress_every == 0:
+            rate = n_img / (time.time() - t0)
+            logger.info("eval batch %d (%.1f img/s)", bi + 1, rate)
+    dt = time.time() - t0
+    if n_img:
+        logger.info("inference done: %d images in %.1fs (%.2f img/s)",
+                    n_img, dt, n_img / dt)
+    return predictions
+
+
+def evaluate_dataset(dataset, predictions: Dict[int, dict]):
+    from ..data.datasets.coco import COCODataset
+
+    if isinstance(dataset, COCODataset):
+        return evaluate_coco_dataset(dataset, predictions)
+    return evaluate_voc_dataset(dataset, predictions)
+
+
+def inference(detector, params, proto_state, data_loader):
+    """Full eval: predictions + metrics (reference engine/inference.py:62)."""
+    predictions = compute_predictions(detector, params, proto_state, data_loader)
+    results = evaluate_dataset(data_loader.dataset, predictions)
+    return results, predictions
