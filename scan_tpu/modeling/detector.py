@@ -140,7 +140,14 @@ class SCANDetector:
 
     # ------------------------------------------------------------------ #
     def init_params(self, rng, sample_images: jnp.ndarray):
-        """Initialise the parameter dict and prototype state."""
+        """Initialise the parameter dict and prototype state.
+
+        Jitted as a whole: eager init dispatches hundreds of tiny ops,
+        which is pathologically slow through a remote-compile TPU path.
+        """
+        return jax.jit(self._init_params)(rng, sample_images)
+
+    def _init_params(self, rng, sample_images: jnp.ndarray):
         keys = jax.random.split(rng, 4 + len(self.dis_modules))
         params: Dict[str, Any] = {}
         params["backbone"] = self.backbone.init(keys[0], sample_images)

@@ -11,13 +11,20 @@ import numpy as np
 
 
 @lru_cache(maxsize=64)
-def compute_locations_level(h: int, w: int, stride: int) -> jnp.ndarray:
-    """(h*w, 2) array of (x, y) centres for one FPN level. Row-major over y."""
+def _locations_np(h: int, w: int, stride: int) -> np.ndarray:
     shift_x = np.arange(0, w * stride, stride, dtype=np.float32)
     shift_y = np.arange(0, h * stride, stride, dtype=np.float32)
     sx, sy = np.meshgrid(shift_x, shift_y)  # (h, w)
-    locs = np.stack([sx.reshape(-1), sy.reshape(-1)], axis=1) + stride // 2
-    return jnp.asarray(locs)
+    return np.stack([sx.reshape(-1), sy.reshape(-1)], axis=1) + stride // 2
+
+
+def compute_locations_level(h: int, w: int, stride: int) -> jnp.ndarray:
+    """(h*w, 2) array of (x, y) centres for one FPN level. Row-major over y.
+
+    Only the numpy grid is cached — converting inside a trace must yield a
+    fresh constant, never a cached tracer.
+    """
+    return jnp.asarray(_locations_np(h, w, stride))
 
 
 def compute_locations(feature_shapes, strides) -> list:
