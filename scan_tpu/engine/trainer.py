@@ -1,0 +1,136 @@
+"""Training loops.
+
+Parity target: reference ``fcos_core/engine/trainer.py:124-495``:
+  * the zipped source/target iteration with a single optimizer step;
+  * the AP50-gated target GST pass (``forward_target = AP50 >
+    SOLVER.INITIAL_AP50``, trainer.py:350) — realised here as two compiled
+    variants of one fused step;
+  * periodic in-training COCO validation every SOLVER.VAL_ITER with
+    best-AP50 checkpointing named ``model_{AP50:.4f}_{iter}`` (trainer.py:465-479);
+  * smoothed metric logging with ETA.
+"""
+
+import datetime
+import logging
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..utils.metric_logger import MetricLogger
+
+logger = logging.getLogger("scan_tpu.trainer")
+
+
+def do_train_da(
+    cfg,
+    detector,
+    train_step,            # from make_da_train_step (forward_target static)
+    params,
+    opt_state,
+    proto_state,
+    loader_source,
+    loader_target,
+    loader_val=None,
+    checkpointer=None,
+    start_iter: int = 0,
+    initial_ap50: Optional[float] = None,
+):
+    meters = MetricLogger()
+    max_iter = cfg.SOLVER.MAX_ITER
+    val_iter = cfg.SOLVER.VAL_ITER
+    adapt_val = cfg.SOLVER.ADAPT_VAL_ON
+    val_type = cfg.SOLVER.VAL_TYPE
+    ap50_emp = initial_ap50 if initial_ap50 is not None else 0.0
+    best_metric = ap50_emp
+
+    logger.info("Start DA training: %d iterations", max_iter)
+    end = time.time()
+
+    src_iter = iter(loader_source)
+    tgt_iter = iter(loader_target)
+    for iteration in range(start_iter, max_iter):
+        batch_s = next(src_iter)
+        batch_t_full = next(tgt_iter)
+        batch_t = {"images": batch_t_full["images"]}
+        data_time = time.time() - end
+
+        forward_target = bool(ap50_emp > cfg.SOLVER.INITIAL_AP50)
+        params, opt_state, proto_state, metrics = train_step(
+            params, opt_state, proto_state, batch_s, batch_t,
+            forward_target=forward_target,
+        )
+        it = iteration + 1
+
+        if it % 20 == 0 or it == max_iter:
+            host_metrics = {
+                k: float(v) for k, v in jax.device_get(metrics).items()
+            }
+            batch_time = (time.time() - end) / 20
+            meters.update(time=batch_time, data=data_time, **host_metrics)
+            eta = datetime.timedelta(
+                seconds=int(meters.time.global_avg * (max_iter - it))
+            )
+            logger.info(
+                "eta: %s  iter: %d  %s  fwd_tgt: %s",
+                eta, it, str(meters), forward_target,
+            )
+            end = time.time()
+
+        # ---- in-training validation + best checkpoint ----
+        if adapt_val and loader_val is not None and it % val_iter == 0:
+            from .inference import inference
+
+            results, _ = inference(detector, params, proto_state, loader_val)
+            cur = float(results.get(val_type, results.get("AP50", 0.0)))
+            ap50_emp = cur * 100 if cur <= 1.0 else cur
+            logger.info("validation @%d: %s=%.4f", it, val_type, ap50_emp)
+            if ap50_emp > best_metric:
+                best_metric = ap50_emp
+                if checkpointer is not None:
+                    checkpointer.save(
+                        f"model_{ap50_emp:.4f}_{it}",
+                        params, proto_state, opt_state, it,
+                    )
+
+        if checkpointer is not None and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            checkpointer.save(f"model_{it:07d}", params, proto_state, opt_state, it)
+
+    if checkpointer is not None:
+        checkpointer.save("model_final", params, proto_state, opt_state, max_iter)
+    return params, opt_state, proto_state, best_metric
+
+
+def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
+                   loader, checkpointer=None, start_iter: int = 0):
+    """Source-only training (reference trainer.py:153-240)."""
+    meters = MetricLogger()
+    max_iter = cfg.SOLVER.MAX_ITER
+    end = time.time()
+    it = start_iter
+    for iteration, batch in enumerate(loader, start_iter):
+        batch = {
+            k: batch[k] for k in ("images", "sizes", "boxes", "labels", "mask")
+        }
+        data_time = time.time() - end
+        params, opt_state, proto_state, metrics = train_step(
+            params, opt_state, proto_state, batch
+        )
+        it = iteration + 1
+        if it % 20 == 0 or it == max_iter:
+            host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            meters.update(time=(time.time() - end) / 20, data=data_time,
+                          **host_metrics)
+            eta = datetime.timedelta(
+                seconds=int(meters.time.global_avg * (max_iter - it))
+            )
+            logger.info("eta: %s  iter: %d  %s", eta, it, str(meters))
+            end = time.time()
+        if checkpointer is not None and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            checkpointer.save(f"model_{it:07d}", params, proto_state, opt_state, it)
+        if it >= max_iter:
+            break
+    if checkpointer is not None:
+        checkpointer.save("model_final", params, proto_state, opt_state, it)
+    return params, opt_state, proto_state

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Evaluation entry point (reference ``tools/test_net.py``).
+
+Usage:
+  python tools/test_net.py --config-file configs/scan/....yaml MODEL.WEIGHT path/to/ckpt
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SCAN-TPU evaluation")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args()
+
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.data.build import make_data_loader_test
+    from scan_tpu.engine.inference import inference
+    from scan_tpu.modeling.detector import build_detector
+    from scan_tpu.utils.checkpoint import Checkpointer
+    from scan_tpu.utils.logger import setup_logger
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
+    detector = build_detector(cfg)
+    loader = make_data_loader_test(cfg)
+
+    bucket = loader.bucket_hw
+    sample = jnp.zeros((1, bucket[0], bucket[1], 3), jnp.float32)
+    params, proto_state = detector.init_params(jax.random.PRNGKey(0), sample)
+
+    ckpt = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "eval_tmp"), detector)
+    if cfg.MODEL.WEIGHT:
+        params, proto_state, _, _ = ckpt.load(
+            cfg.MODEL.WEIGHT, params, proto_state, None, load_dis=False
+        )
+
+    results, predictions = inference(detector, params, proto_state, loader)
+    printable = {
+        k: v for k, v in results.items() if not isinstance(v, dict)
+    }
+    logger.info("results: %s", printable)
+    print(json.dumps(printable))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Plain (source-only) training (reference ``tools/train_net.py``)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SCAN-TPU plain training")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args()
+
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.data.build import make_data_loader_train
+    from scan_tpu.engine.train_step import make_source_only_train_step
+    from scan_tpu.engine.trainer import do_train_plain
+    from scan_tpu.modeling.detector import build_detector
+    from scan_tpu.solver.build import make_optimizer
+    from scan_tpu.utils.checkpoint import Checkpointer
+    from scan_tpu.utils.logger import setup_logger
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.defrost()
+    cfg.MODEL.DA_ON = False
+    cfg.freeze()
+
+    logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
+    detector = build_detector(cfg)
+    loader = make_data_loader_train(cfg)
+    bucket = loader.bucket_hw
+    sample = jnp.zeros((1, bucket[0], bucket[1], 3), jnp.float32)
+    params, proto_state = detector.init_params(jax.random.PRNGKey(1234), sample)
+    optimizer = make_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+
+    checkpointer = Checkpointer(cfg.OUTPUT_DIR, detector)
+    params, proto_state, opt_state, start_iter = checkpointer.load(
+        cfg.MODEL.WEIGHT if not cfg.MODEL.WEIGHT.startswith("http") else "",
+        params, proto_state, opt_state,
+    )
+    step = make_source_only_train_step(detector, optimizer)
+    do_train_plain(cfg, detector, step, params, opt_state, proto_state,
+                   loader, checkpointer, start_iter)
+
+
+if __name__ == "__main__":
+    main()
