@@ -1,0 +1,434 @@
+"""ATSS detector (head + box coder + adaptive assignment + losses + postproc).
+
+Parity targets:
+  * head: reference ``fcos_core/modeling/rpn/atss/atss.py:100-192`` — shared
+    cls/box towers [conv,GN,ReLU]*4, per-level Scale on bbox_pred (relu'd in
+    POINT mode), centerness off the box tower, focal-prior cls bias;
+  * box coder: ``atss.py:14-98`` — BOX mode: Faster-RCNN deltas with
+    TO_REMOVE=1 and the (w-1)/2 decode; POINT mode: ltrb in stride units;
+  * assignment: ``loss.py:163-250`` (POSITIVE_TYPE='ATSS') — per level
+    topk=9 anchors by centre distance, IoU threshold = mean+std over the
+    candidates, centre-inside-gt filter, max-IoU tiebreak;
+  * losses: ``loss.py:292-339`` — focal / num_pos, centerness-weighted GIoU
+    / sum(centerness) * REG_LOSS_WEIGHT, BCE centerness / num_pos;
+  * postprocess: ``inference.py:11-127`` — per-level threshold + topk,
+    decode, multi-label NMS, top-100.
+
+TPU-native shape discipline: the per-image python loops over dynamic GT
+counts become (L, G) masked broadcasts; topk-per-level is lax.top_k; std
+uses the reference's Bessel (n-1) correction.
+"""
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.focal_loss import sigmoid_focal_loss
+from ...structures.boxes import box_iou
+from ..layers import Conv, ConvTower, Scale
+
+INF = 100000000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ATSSConfig:
+    num_classes: int = 81
+    num_convs: int = 4
+    prior_prob: float = 0.01
+    regression_type: str = "BOX"
+    anchor_sizes: tuple = (64, 128, 256, 512, 1024)
+    aspect_ratios: tuple = (1.0,)
+    strides: tuple = (8, 16, 32, 64, 128)
+    octave: float = 2.0
+    scales_per_octave: int = 1
+    topk: int = 9
+    loss_gamma: float = 2.0
+    loss_alpha: float = 0.25
+    reg_loss_weight: float = 2.0
+
+    @property
+    def num_anchors(self):
+        return len(self.aspect_ratios) * self.scales_per_octave
+
+    @staticmethod
+    def from_cfg(cfg):
+        a = cfg.MODEL.ATSS
+        return ATSSConfig(
+            num_classes=a.NUM_CLASSES,
+            num_convs=a.NUM_CONVS,
+            prior_prob=a.PRIOR_PROB,
+            regression_type=a.REGRESSION_TYPE,
+            anchor_sizes=tuple(a.ANCHOR_SIZES),
+            aspect_ratios=tuple(a.ASPECT_RATIOS),
+            strides=tuple(a.ANCHOR_STRIDES),
+            octave=a.OCTAVE,
+            scales_per_octave=a.SCALES_PER_OCTAVE,
+            topk=a.TOPK,
+            loss_gamma=a.LOSS_GAMMA,
+            loss_alpha=a.LOSS_ALPHA,
+            reg_loss_weight=a.REG_LOSS_WEIGHT,
+        )
+
+
+class ATSSHead(nn.Module):
+    cfg: ATSSConfig
+    in_channels: int = 256
+    num_levels: int = 5
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, features):
+        c = self.cfg
+        num_fg = c.num_classes - 1
+        na = c.num_anchors
+        cls_tower = ConvTower(c.num_convs, self.in_channels, dtype=self.dtype,
+                              name="cls_tower")
+        box_tower = ConvTower(c.num_convs, self.in_channels, dtype=self.dtype,
+                              name="bbox_tower")
+        bias_value = -math.log((1 - c.prior_prob) / c.prior_prob)
+        cls_logits = Conv(na * num_fg, 3, dtype=self.dtype,
+                          bias_init=nn.initializers.constant(bias_value),
+                          name="cls_logits")
+        reg_bias = 4.0 if c.regression_type == "POINT" else 0.0
+        bbox_pred = Conv(na * 4, 3, dtype=self.dtype,
+                         bias_init=nn.initializers.constant(reg_bias),
+                         name="bbox_pred")
+        centerness = Conv(na, 3, dtype=self.dtype, name="centerness")
+        scales = [Scale(1.0, name=f"scale{l}") for l in range(self.num_levels)]
+
+        logits, bbox_reg, ctrness = [], [], []
+        for l, f in enumerate(features):
+            ct = cls_tower(f)
+            bt = box_tower(f)
+            logits.append(cls_logits(ct).astype(jnp.float32))
+            pred = scales[l](bbox_pred(bt).astype(jnp.float32))
+            if c.regression_type == "POINT":
+                pred = nn.relu(pred)
+            bbox_reg.append(pred)
+            ctrness.append(centerness(bt).astype(jnp.float32))
+        return logits, bbox_reg, ctrness
+
+
+# ---------------------------------------------------------------------- #
+# box coder
+# ---------------------------------------------------------------------- #
+def atss_encode(cfg: ATSSConfig, gt_boxes, anchors):
+    if cfg.regression_type == "POINT":
+        aw = anchors[:, 2] - anchors[:, 0] + 1
+        ah = anchors[:, 3] - anchors[:, 1] + 1
+        cx = (anchors[:, 2] + anchors[:, 0]) / 2
+        cy = (anchors[:, 3] + anchors[:, 1]) / 2
+        w = cfg.anchor_sizes[0] / cfg.strides[0]
+        return jnp.stack(
+            [
+                w * (cx - gt_boxes[:, 0]) / aw,
+                w * (cy - gt_boxes[:, 1]) / ah,
+                w * (gt_boxes[:, 2] - cx) / aw,
+                w * (gt_boxes[:, 3] - cy) / ah,
+            ],
+            axis=1,
+        )
+    ew = anchors[:, 2] - anchors[:, 0] + 1
+    eh = anchors[:, 3] - anchors[:, 1] + 1
+    ecx = (anchors[:, 2] + anchors[:, 0]) / 2
+    ecy = (anchors[:, 3] + anchors[:, 1]) / 2
+    gw = gt_boxes[:, 2] - gt_boxes[:, 0] + 1
+    gh = gt_boxes[:, 3] - gt_boxes[:, 1] + 1
+    gcx = (gt_boxes[:, 2] + gt_boxes[:, 0]) / 2
+    gcy = (gt_boxes[:, 3] + gt_boxes[:, 1]) / 2
+    return jnp.stack(
+        [
+            10.0 * (gcx - ecx) / ew,
+            10.0 * (gcy - ecy) / eh,
+            5.0 * jnp.log(jnp.maximum(gw / ew, 1e-8)),
+            5.0 * jnp.log(jnp.maximum(gh / eh, 1e-8)),
+        ],
+        axis=1,
+    )
+
+
+def atss_decode(cfg: ATSSConfig, preds, anchors):
+    if cfg.regression_type == "POINT":
+        aw = anchors[:, 2] - anchors[:, 0] + 1
+        ah = anchors[:, 3] - anchors[:, 1] + 1
+        cx = (anchors[:, 2] + anchors[:, 0]) / 2
+        cy = (anchors[:, 3] + anchors[:, 1]) / 2
+        w = cfg.anchor_sizes[0] / cfg.strides[0]
+        return jnp.stack(
+            [
+                cx - preds[:, 0] / w * aw,
+                cy - preds[:, 1] / w * ah,
+                cx + preds[:, 2] / w * aw,
+                cy + preds[:, 3] / w * ah,
+            ],
+            axis=1,
+        )
+    widths = anchors[:, 2] - anchors[:, 0] + 1
+    heights = anchors[:, 3] - anchors[:, 1] + 1
+    ctr_x = (anchors[:, 2] + anchors[:, 0]) / 2
+    ctr_y = (anchors[:, 3] + anchors[:, 1]) / 2
+    dx = preds[:, 0] / 10.0
+    dy = preds[:, 1] / 10.0
+    dw = jnp.clip(preds[:, 2] / 5.0, None, math.log(1000.0 / 16))
+    dh = jnp.clip(preds[:, 3] / 5.0, None, math.log(1000.0 / 16))
+    pcx = dx * widths + ctr_x
+    pcy = dy * heights + ctr_y
+    pw = jnp.exp(dw) * widths
+    ph = jnp.exp(dh) * heights
+    return jnp.stack(
+        [
+            pcx - 0.5 * (pw - 1),
+            pcy - 0.5 * (ph - 1),
+            pcx + 0.5 * (pw - 1),
+            pcy + 0.5 * (ph - 1),
+        ],
+        axis=1,
+    )
+
+
+# ---------------------------------------------------------------------- #
+# adaptive training sample selection
+# ---------------------------------------------------------------------- #
+def atss_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
+                       gt_boxes, gt_labels, gt_mask):
+    """Per-image ATSS assignment. anchors_cat (L,4); level_counts static
+    list; gts padded (G,...). Returns labels (L,), matched_gt (L,4)."""
+    ious = box_iou(anchors_cat, gt_boxes, plus_one=True)  # (L, G)
+
+    gt_cx = (gt_boxes[:, 2] + gt_boxes[:, 0]) / 2
+    gt_cy = (gt_boxes[:, 3] + gt_boxes[:, 1]) / 2
+    a_cx = (anchors_cat[:, 2] + anchors_cat[:, 0]) / 2
+    a_cy = (anchors_cat[:, 3] + anchors_cat[:, 1]) / 2
+    dist = jnp.sqrt(
+        (a_cx[:, None] - gt_cx[None, :]) ** 2
+        + (a_cy[:, None] - gt_cy[None, :]) ** 2
+    )
+
+    # per-level topk candidates by distance
+    cand = jnp.zeros(ious.shape, bool)
+    start = 0
+    topk = cfg.topk * cfg.num_anchors
+    for n in level_counts:
+        d = dist[start : start + n]  # (n, G)
+        k = min(topk, n)
+        _, idx = jax.lax.top_k(-d.T, k)  # (G, k) smallest distances
+        lvl_mask = jnp.zeros((gt_boxes.shape[0], n), bool)
+        lvl_mask = lvl_mask.at[
+            jnp.arange(gt_boxes.shape[0])[:, None], idx
+        ].set(True)
+        cand = cand.at[start : start + n].set(lvl_mask.T)
+        start += n
+
+    # iou threshold = mean + std over candidates (Bessel-corrected like torch)
+    n_cand = jnp.sum(cand.astype(jnp.float32), axis=0)  # (G,)
+    cand_ious = jnp.where(cand, ious, 0.0)
+    mean = jnp.sum(cand_ious, axis=0) / jnp.maximum(n_cand, 1.0)
+    var = jnp.sum(
+        jnp.where(cand, (ious - mean[None, :]) ** 2, 0.0), axis=0
+    ) / jnp.maximum(n_cand - 1.0, 1.0)
+    thr = mean + jnp.sqrt(var)
+
+    # centre inside gt (strict margin 0.01)
+    l = a_cx[:, None] - gt_boxes[None, :, 0]
+    t = a_cy[:, None] - gt_boxes[None, :, 1]
+    r = gt_boxes[None, :, 2] - a_cx[:, None]
+    b = gt_boxes[None, :, 3] - a_cy[:, None]
+    in_gt = jnp.min(jnp.stack([l, t, r, b], axis=2), axis=2) > 0.01
+
+    is_pos = cand & (ious >= thr[None, :]) & in_gt & gt_mask[None, :]
+
+    ious_masked = jnp.where(is_pos, ious, -INF)
+    best_iou = jnp.max(ious_masked, axis=1)
+    best_gt = jnp.argmax(ious_masked, axis=1)
+    labels = jnp.where(
+        best_iou > -INF / 2, jnp.take(gt_labels, best_gt), 0
+    ).astype(jnp.int32)
+    matched = jnp.take(gt_boxes, best_gt, axis=0)
+    return labels, matched
+
+
+def atss_centerness(reg_targets, anchors, cfg: ATSSConfig):
+    gts = atss_decode(cfg, reg_targets, anchors)
+    cx = (anchors[:, 2] + anchors[:, 0]) / 2
+    cy = (anchors[:, 3] + anchors[:, 1]) / 2
+    l = cx - gts[:, 0]
+    t = cy - gts[:, 1]
+    r = gts[:, 2] - cx
+    b = gts[:, 3] - cy
+    lr_min = jnp.minimum(l, r)
+    lr_max = jnp.maximum(jnp.maximum(l, r), 1e-8)
+    tb_min = jnp.minimum(t, b)
+    tb_max = jnp.maximum(jnp.maximum(t, b), 1e-8)
+    return jnp.sqrt(jnp.maximum((lr_min / lr_max) * (tb_min / tb_max), 0.0))
+
+
+def giou_loss(cfg: ATSSConfig, pred, target, anchors, weight, valid):
+    pb = atss_decode(cfg, pred, anchors)
+    px1, py1 = pb[:, 0], pb[:, 1]
+    px2 = jnp.maximum(px1, pb[:, 2])
+    py2 = jnp.maximum(py1, pb[:, 3])
+    p_area = (px2 - px1) * (py2 - py1)
+
+    gb = atss_decode(cfg, target, anchors)
+    gx1, gy1, gx2, gy2 = gb[:, 0], gb[:, 1], gb[:, 2], gb[:, 3]
+    g_area = (gx2 - gx1) * (gy2 - gy1)
+
+    ix1 = jnp.maximum(px1, gx1)
+    iy1 = jnp.maximum(py1, gy1)
+    ix2 = jnp.minimum(px2, gx2)
+    iy2 = jnp.minimum(py2, gy2)
+    inter = jnp.where(
+        (iy2 > iy1) & (ix2 > ix1), (ix2 - ix1) * (iy2 - iy1), 0.0
+    )
+    enc_area = (
+        (jnp.maximum(px2, gx2) - jnp.minimum(px1, gx1))
+        * (jnp.maximum(py2, gy2) - jnp.minimum(py1, gy1))
+        + 1e-7
+    )
+    union = p_area + g_area - inter + 1e-7
+    gious = inter / union - (enc_area - union) / enc_area
+    losses = (1.0 - gious) * weight * valid
+    return jnp.sum(losses)
+
+
+def atss_losses(cfg: ATSSConfig, anchors_levels, box_cls, box_regression,
+                centerness, gt_boxes, gt_labels, gt_mask):
+    """Fixed-shape ATSS loss over a batch (reference loss.py:292-339)."""
+    num_fg = cfg.num_classes - 1
+    level_counts = [a.shape[0] for a in anchors_levels]
+    anchors_cat = jnp.concatenate(anchors_levels, axis=0)
+
+    assign = jax.vmap(
+        lambda b, l, m: atss_assign_single(
+            cfg, anchors_cat, level_counts, b, l, m
+        )
+    )
+    labels, matched = assign(gt_boxes, gt_labels, gt_mask)  # (B,L),(B,L,4)
+
+    def enc(m):
+        return atss_encode(cfg, m, anchors_cat)
+
+    reg_targets = jax.vmap(enc)(matched)
+
+    cls_flat = jnp.concatenate(
+        [m.reshape(m.shape[0], -1, num_fg) for m in box_cls], axis=1
+    ).reshape(-1, num_fg)
+    reg_flat = jnp.concatenate(
+        [m.reshape(m.shape[0], -1, 4) for m in box_regression], axis=1
+    ).reshape(-1, 4)
+    ctr_flat = jnp.concatenate(
+        [m.reshape(m.shape[0], -1) for m in centerness], axis=1
+    ).reshape(-1)
+    labels_flat = labels.reshape(-1)
+    reg_t_flat = reg_targets.reshape(-1, 4)
+    anchors_flat = jnp.tile(anchors_cat, (gt_boxes.shape[0], 1))
+
+    pos = labels_flat > 0
+    num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+
+    cls_loss = sigmoid_focal_loss(
+        cls_flat, labels_flat, cfg.loss_gamma, cfg.loss_alpha
+    ) / num_pos
+
+    ctr_targets = atss_centerness(reg_t_flat, anchors_flat, cfg)
+    ctr_targets = jnp.where(pos, ctr_targets, 0.0)
+    sum_ctr = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
+
+    reg_loss = giou_loss(
+        cfg, reg_flat, reg_t_flat, anchors_flat, ctr_targets,
+        pos.astype(jnp.float32),
+    ) / sum_ctr
+
+    bce = (
+        jnp.maximum(ctr_flat, 0)
+        - ctr_flat * ctr_targets
+        + jnp.log1p(jnp.exp(-jnp.abs(ctr_flat)))
+    )
+    ctr_loss = jnp.sum(bce * pos) / num_pos
+
+    return {
+        "loss_cls": cls_loss,
+        "loss_reg": reg_loss * cfg.reg_loss_weight,
+        "loss_centerness": ctr_loss,
+    }
+
+
+# ---------------------------------------------------------------------- #
+# inference
+# ---------------------------------------------------------------------- #
+def atss_postprocess(cfg: ATSSConfig, pp_cfg, anchors_levels, box_cls,
+                     box_regression, centerness, image_sizes):
+    """Fixed-shape ATSS postprocess (reference atss/inference.py:11-127):
+    identical protocol to the FCOS one but anchors + coder decoding and
+    multi-label NMS across levels."""
+    import dataclasses as _dc
+
+    from ..fcos.postprocess import NEG_INF, PostProcessConfig, _postprocess_single
+
+    num_fg = cfg.num_classes - 1
+
+    def single(cls_levels, reg_levels, ctr_levels, image_size):
+        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        for anchors, bc, br, ct in zip(
+            anchors_levels, cls_levels, reg_levels, ctr_levels
+        ):
+            scores = jax.nn.sigmoid(bc)
+            candidate = scores > pp_cfg.pre_nms_thresh
+            ranked = scores * jax.nn.sigmoid(ct)[:, None]
+            flat = jnp.where(candidate, ranked, NEG_INF).reshape(-1)
+            k = min(pp_cfg.pre_nms_top_n, flat.shape[0])
+            top_scores, top_idx = jax.lax.top_k(flat, k)
+            loc_idx = top_idx // num_fg
+            cls_idx = top_idx % num_fg + 1
+            boxes = atss_decode(cfg, br[loc_idx], anchors[loc_idx])
+            h = image_size[0].astype(jnp.float32)
+            w = image_size[1].astype(jnp.float32)
+            boxes = jnp.stack(
+                [
+                    jnp.clip(boxes[:, 0], 0, w - 1),
+                    jnp.clip(boxes[:, 1], 0, h - 1),
+                    jnp.clip(boxes[:, 2], 0, w - 1),
+                    jnp.clip(boxes[:, 3], 0, h - 1),
+                ],
+                axis=1,
+            )
+            all_boxes.append(boxes)
+            all_scores.append(jnp.maximum(top_scores, 0.0))
+            all_labels.append(cls_idx)
+            all_valid.append(top_scores > NEG_INF / 2)
+
+        boxes = jnp.concatenate(all_boxes, 0)
+        scores = jnp.concatenate(all_scores, 0)
+        labels = jnp.concatenate(all_labels, 0)
+        valid = jnp.concatenate(all_valid, 0)
+
+        cap = min(pp_cfg.nms_cap, boxes.shape[0])
+        _, keep_idx = jax.lax.top_k(jnp.where(valid, scores, NEG_INF), cap)
+        boxes, scores, labels, valid = (
+            boxes[keep_idx], scores[keep_idx], labels[keep_idx], valid[keep_idx]
+        )
+        from ...ops.nms import nms_keep_mask
+
+        keep = nms_keep_mask(
+            boxes, scores, valid, pp_cfg.nms_thresh, labels=labels,
+            use_pallas=pp_cfg.use_pallas_nms,
+        )
+        final = jnp.where(keep, scores, NEG_INF)
+        n_det = min(pp_cfg.fpn_post_nms_top_n, final.shape[0])
+        top_scores, top_idx = jax.lax.top_k(final, n_det)
+        out_valid = top_scores > NEG_INF / 2
+        return dict(
+            boxes=boxes[top_idx],
+            scores=jnp.sqrt(jnp.maximum(top_scores, 0.0)),
+            labels=jnp.where(out_valid, labels[top_idx], 0),
+            valid=out_valid,
+        )
+
+    cls_flat = [m.reshape(m.shape[0], -1, num_fg) for m in box_cls]
+    reg_flat = [m.reshape(m.shape[0], -1, 4) for m in box_regression]
+    ctr_flat = [m.reshape(m.shape[0], -1) for m in centerness]
+    return jax.vmap(single)(cls_flat, reg_flat, ctr_flat, image_sizes)

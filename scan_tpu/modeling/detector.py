@@ -54,24 +54,39 @@ class SCANDetector:
             self.cg_cfg = CondGraphConfig.from_cfg(cfg)
             self.middle_head = CondGraph(self.cg_cfg, dtype=dtype)
 
-        self.fcos_head = FCOSHead(
-            num_classes=self.num_classes,
-            num_convs_cls=cfg.MODEL.FCOS.NUM_CONVS_CLS,
-            num_convs_reg=cfg.MODEL.FCOS.NUM_CONVS_REG,
-            prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
-            with_reg_ctr=cfg.MODEL.FCOS.REG_CTR_ON,
-            num_levels=len(self.strides),
-            dtype=dtype,
-        )
+        # head selection mirrors reference build_rpn (rpn.py:201-206):
+        # ATSS_ON > FCOS_ON > anchor RPN.
+        self.atss_on = cfg.MODEL.ATSS_ON
+        if self.atss_on:
+            from .atss.atss import ATSSConfig, ATSSHead
+
+            self.atss_cfg = ATSSConfig.from_cfg(cfg)
+            self.num_classes = self.atss_cfg.num_classes
+            self.fcos_head = ATSSHead(
+                self.atss_cfg, num_levels=len(self.strides), dtype=dtype
+            )
+        else:
+            self.fcos_head = FCOSHead(
+                num_classes=self.num_classes,
+                num_convs_cls=cfg.MODEL.FCOS.NUM_CONVS_CLS,
+                num_convs_reg=cfg.MODEL.FCOS.NUM_CONVS_REG,
+                prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
+                with_reg_ctr=cfg.MODEL.FCOS.REG_CTR_ON,
+                num_levels=len(self.strides),
+                dtype=dtype,
+            )
         self.loss_gamma = cfg.MODEL.FCOS.LOSS_GAMMA
         self.loss_alpha = cfg.MODEL.FCOS.LOSS_ALPHA
         self.test_mode = cfg.TEST.MODE
+        head_cfg = cfg.MODEL.ATSS if self.atss_on else cfg.MODEL.FCOS
         self.pp_cfg = PostProcessConfig(
-            pre_nms_thresh=cfg.MODEL.FCOS.INFERENCE_TH,
-            pre_nms_top_n=cfg.MODEL.FCOS.PRE_NMS_TOP_N,
-            nms_thresh=cfg.MODEL.FCOS.NMS_TH,
+            pre_nms_thresh=head_cfg.INFERENCE_TH,
+            pre_nms_top_n=head_cfg.PRE_NMS_TOP_N,
+            nms_thresh=head_cfg.NMS_TH,
             fpn_post_nms_top_n=cfg.TEST.DETECTIONS_PER_IMG,
             num_classes=self.num_classes,
+            # VMEM-resident Pallas NMS on TPU; XLA fori_loop fallback on CPU.
+            use_pallas_nms=jax.default_backend() != "cpu",
         )
 
         # ---------------- discriminators ----------------
@@ -224,10 +239,12 @@ class SCANDetector:
 
         score_maps = None
         if mode == "source" or self.need_score_maps:
-            compute_cls = True
-            logits, reg, ctr = self.fcos_head.apply(
-                params["fcos"], feats, compute_cls
-            )
+            if self.atss_on:
+                logits, reg, ctr = self.fcos_head.apply(params["fcos"], feats)
+            else:
+                logits, reg, ctr = self.fcos_head.apply(
+                    params["fcos"], feats, True
+                )
             score_maps = {
                 "box_cls": logits,
                 "box_regression": reg,
@@ -235,14 +252,33 @@ class SCANDetector:
             }
             if mode == "source":
                 shapes = [(f.shape[1], f.shape[2]) for f in feats]
-                locations = compute_locations(shapes, self.strides)
-                losses.update(
-                    fcos_losses(
-                        locations, logits, reg, ctr,
-                        targets["boxes"], targets["labels"], targets["mask"],
-                        gamma=self.loss_gamma, alpha=self.loss_alpha,
+                if self.atss_on:
+                    from .anchors import atss_level_sizes, grid_anchors
+                    from .atss.atss import atss_losses
+
+                    anchors = grid_anchors(
+                        shapes, self.strides,
+                        atss_level_sizes(
+                            self.atss_cfg.anchor_sizes, self.atss_cfg.octave,
+                            self.atss_cfg.scales_per_octave,
+                        ),
+                        self.atss_cfg.aspect_ratios,
                     )
-                )
+                    losses.update(
+                        atss_losses(
+                            self.atss_cfg, anchors, logits, reg, ctr,
+                            targets["boxes"], targets["labels"], targets["mask"],
+                        )
+                    )
+                else:
+                    locations = compute_locations(shapes, self.strides)
+                    losses.update(
+                        fcos_losses(
+                            locations, logits, reg, ctr,
+                            targets["boxes"], targets["labels"], targets["mask"],
+                            gamma=self.loss_gamma, alpha=self.loss_alpha,
+                        )
+                    )
         return losses, feats, act_maps, score_maps, new_state
 
     def discriminator_losses(self, params, feats, act_maps, score_maps,
@@ -285,11 +321,28 @@ class SCANDetector:
             feats, _, act_maps, _ = self.middle_head.apply(
                 params["middle_head"], feats, proto_state, "inference"
             )
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        if self.atss_on:
+            from .anchors import atss_level_sizes, grid_anchors
+            from .atss.atss import atss_postprocess
+
+            logits, reg, ctr = self.fcos_head.apply(params["fcos"], feats)
+            anchors = grid_anchors(
+                shapes, self.strides,
+                atss_level_sizes(
+                    self.atss_cfg.anchor_sizes, self.atss_cfg.octave,
+                    self.atss_cfg.scales_per_octave,
+                ),
+                self.atss_cfg.aspect_ratios,
+            )
+            return atss_postprocess(
+                self.atss_cfg, self.pp_cfg, anchors, logits, reg, ctr,
+                image_sizes,
+            )
         compute_cls = self.test_mode != "light"
         logits, reg, ctr = self.fcos_head.apply(params["fcos"], feats, compute_cls)
         cls_maps, apply_sigmoid = mix_cls_maps(self.test_mode, logits, act_maps)
         pp = dataclasses.replace(self.pp_cfg, apply_sigmoid=apply_sigmoid)
-        shapes = [(f.shape[1], f.shape[2]) for f in feats]
         locations = compute_locations(shapes, self.strides)
         return fcos_postprocess(pp, locations, cls_maps, reg, ctr, image_sizes)
 

@@ -33,7 +33,7 @@ def _suppression_matrix(boxes, labels, iou_threshold, plus_one):
     return sup
 
 
-@partial(jax.jit, static_argnames=("plus_one", "use_pallas"))
+@partial(jax.jit, static_argnames=("iou_threshold", "plus_one", "use_pallas"))
 def nms_keep_mask(boxes, scores, valid, iou_threshold, labels=None,
                   plus_one: bool = True, use_pallas: bool = False):
     """Exact greedy (ML-)NMS.
@@ -59,7 +59,7 @@ def nms_keep_mask(boxes, scores, valid, iou_threshold, labels=None,
     if use_pallas:
         from .pallas.nms_kernel import nms_pallas_sorted
 
-        keep_sorted = nms_pallas_sorted(b, v, l, float(iou_threshold), plus_one)
+        keep_sorted = nms_pallas_sorted(b, v, l, iou_threshold, plus_one)
     else:
         sup = _suppression_matrix(b, l, iou_threshold, plus_one)
         row_ids = jnp.arange(k)
