@@ -57,9 +57,9 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, proto, batch_images, sizes)
-        _ = np.asarray(out["scores"][0, 0])  # force completion
+    outs = [fwd(params, proto, batch_images, sizes) for _ in range(iters)]
+    for out in outs:  # drain: device executes in order, fetch forces sync
+        _ = np.asarray(out["scores"][0, 0])
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt

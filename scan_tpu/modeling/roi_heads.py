@@ -1,0 +1,215 @@
+"""RoI box head (Faster R-CNN second stage), fixed-shape.
+
+Parity target: reference ``fcos_core/modeling/roi_heads/box_head/*`` +
+``modeling/poolers.py:11-124``: FPN pooler with the canonical LevelMapper
+(k = floor(4 + log2(sqrt(area)/224))), FPN2MLP feature extractor (ROIAlign
+7x7 -> 2 FC 1024), FastRCNNPredictor (cls + per-class box deltas), CE +
+smooth-L1 training, per-class-NMS postprocessing.
+
+TPU-native: proposals come in as a fixed (B, N, 4) masked array; level
+assignment is a one-hot blend over per-level ROIAlign results (each RoI is
+pooled from exactly one level, selected by mask — the other levels' pools
+are computed but zeroed; with N fixed this stays static and batched).
+"""
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.nms import nms_keep_mask
+from ..ops.roi_align import roi_align
+from ..structures.boxes import box_iou, decode_boxes, encode_boxes
+from .retinanet import matcher_assign, smooth_l1
+
+
+@dataclasses.dataclass(frozen=True)
+class RoIBoxConfig:
+    num_classes: int = 81
+    pooler_resolution: int = 7
+    pooler_scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
+    sampling_ratio: int = 2
+    mlp_dim: int = 1024
+    fg_iou: float = 0.5
+    bg_iou: float = 0.5
+    batch_per_image: int = 512
+    positive_fraction: float = 0.25
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    bbox_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+
+    @staticmethod
+    def from_cfg(cfg):
+        h = cfg.MODEL.ROI_HEADS
+        b = cfg.MODEL.ROI_BOX_HEAD
+        return RoIBoxConfig(
+            num_classes=b.NUM_CLASSES,
+            pooler_resolution=b.POOLER_RESOLUTION,
+            pooler_scales=tuple(b.POOLER_SCALES),
+            sampling_ratio=b.POOLER_SAMPLING_RATIO or 2,
+            mlp_dim=b.MLP_HEAD_DIM,
+            fg_iou=h.FG_IOU_THRESHOLD,
+            bg_iou=h.BG_IOU_THRESHOLD,
+            batch_per_image=h.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=h.POSITIVE_FRACTION,
+            score_thresh=h.SCORE_THRESH,
+            nms_thresh=h.NMS,
+            detections_per_img=h.DETECTIONS_PER_IMG,
+            bbox_reg_weights=tuple(h.BBOX_REG_WEIGHTS),
+        )
+
+
+def level_map(rois, num_levels, canonical_scale=224, canonical_level=4,
+              min_level=2):
+    """LevelMapper (reference poolers.py:11-43)."""
+    w = rois[:, 2] - rois[:, 0]
+    h = rois[:, 3] - rois[:, 1]
+    scale = jnp.sqrt(jnp.maximum(w * h, 1e-6))
+    lvl = jnp.floor(canonical_level + jnp.log2(scale / canonical_scale + 1e-6))
+    lvl = jnp.clip(lvl, min_level, min_level + num_levels - 1)
+    return (lvl - min_level).astype(jnp.int32)
+
+
+def fpn_pooler(cfg: RoIBoxConfig, features, rois, batch_indices):
+    """Pool each RoI from its assigned FPN level (poolers.py:45-124).
+
+    features: list of NHWC maps; rois: (R, 4); batch_indices: (R,).
+    Returns (R, res, res, C).
+    """
+    num_levels = len(cfg.pooler_scales)
+    levels = level_map(rois, num_levels)
+    out = None
+    for l, (f, s) in enumerate(zip(features, cfg.pooler_scales)):
+        pooled = roi_align(
+            f, rois, batch_indices, cfg.pooler_resolution, s,
+            cfg.sampling_ratio,
+        )
+        sel = (levels == l).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
+class RoIBoxHead(nn.Module):
+    """FPN2MLP extractor + FastRCNNPredictor."""
+
+    cfg: RoIBoxConfig
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, pooled):
+        c = self.cfg
+        x = pooled.reshape(pooled.shape[0], -1)
+        x = nn.relu(nn.Dense(c.mlp_dim, name="fc6")(x))
+        x = nn.relu(nn.Dense(c.mlp_dim, name="fc7")(x))
+        cls_logit = nn.Dense(
+            c.num_classes, kernel_init=nn.initializers.normal(0.01),
+            name="cls_score",
+        )(x)
+        bbox_pred = nn.Dense(
+            c.num_classes * 4, kernel_init=nn.initializers.normal(0.001),
+            name="bbox_pred",
+        )(x)
+        return cls_logit, bbox_pred
+
+
+def roi_box_losses(cfg: RoIBoxConfig, cls_logits, bbox_pred, proposals,
+                   prop_valid, matched_labels, reg_targets):
+    """CE + smooth-L1 over the (fixed) proposal set."""
+    n = cls_logits.shape[0]
+    valid = prop_valid & (matched_labels >= 0)
+    pos = matched_labels > 0
+
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    ce = -jnp.take_along_axis(
+        logp, jnp.maximum(matched_labels, 0)[:, None], axis=1
+    )[:, 0]
+    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    cls_loss = jnp.sum(ce * valid) / denom
+
+    # per-class box deltas: select the matched class's 4 columns
+    bp = bbox_pred.reshape(n, cfg.num_classes, 4)
+    sel = jnp.take_along_axis(
+        bp, jnp.maximum(matched_labels, 0)[:, None, None].repeat(4, 2), axis=1
+    )[:, 0, :]
+    reg_loss = jnp.sum(
+        jnp.sum(smooth_l1(sel - reg_targets, 1.0), axis=1) * pos
+    ) / denom
+    return {"loss_classifier": cls_loss, "loss_box_reg": reg_loss}
+
+
+def match_proposals(cfg: RoIBoxConfig, proposals, prop_valid, gt_boxes,
+                    gt_labels, gt_mask):
+    """Second-stage target assignment (box_head/loss.py semantics)."""
+
+    def one(props, pv, boxes, labels, mask):
+        ious = box_iou(props, boxes, plus_one=True) * mask[None, :]
+        matches = matcher_assign(
+            ious, cfg.fg_iou, cfg.bg_iou, allow_low_quality=False
+        )
+        matches = jnp.where(jnp.any(mask) & pv, matches, -1)
+        cls = jnp.where(matches >= 0, jnp.take(labels, jnp.maximum(matches, 0)), 0)
+        cls = jnp.where(matches == -2, -1, cls)
+        matched_boxes = jnp.take(boxes, jnp.maximum(matches, 0), axis=0)
+        reg = encode_boxes(matched_boxes, props, cfg.bbox_reg_weights)
+        return cls.astype(jnp.int32), reg
+
+    return jax.vmap(one)(proposals, prop_valid, gt_boxes, gt_labels, gt_mask)
+
+
+def roi_box_postprocess(cfg: RoIBoxConfig, cls_logits, bbox_pred, proposals,
+                        prop_valid, image_sizes, use_pallas_nms=False):
+    """Per-image: softmax scores, per-class decode, threshold, per-class
+    NMS, top detections (roi_heads/box_head/inference.py)."""
+    nc = cfg.num_classes
+
+    def single(logits, preds, props, pv, image_size):
+        n = logits.shape[0]
+        probs = jax.nn.softmax(logits, axis=-1)  # (N, C)
+        boxes_all = decode_boxes(
+            preds.reshape(n * nc, 4),
+            jnp.repeat(props, nc, axis=0),
+            cfg.bbox_reg_weights,
+        ).reshape(n, nc, 4)
+        # skip background column 0
+        fg_scores = probs[:, 1:].reshape(-1)
+        fg_boxes = boxes_all[:, 1:, :].reshape(-1, 4)
+        fg_labels = jnp.tile(jnp.arange(1, nc), n)
+        fg_valid = jnp.repeat(pv, nc - 1) & (fg_scores > cfg.score_thresh)
+
+        h = image_size[0].astype(jnp.float32)
+        w = image_size[1].astype(jnp.float32)
+        fg_boxes = jnp.stack(
+            [
+                jnp.clip(fg_boxes[:, 0], 0, w - 1),
+                jnp.clip(fg_boxes[:, 1], 0, h - 1),
+                jnp.clip(fg_boxes[:, 2], 0, w - 1),
+                jnp.clip(fg_boxes[:, 3], 0, h - 1),
+            ],
+            axis=1,
+        )
+        cap = min(1024, fg_scores.shape[0])
+        ranked = jnp.where(fg_valid, fg_scores, -1.0)
+        top_scores, idx = jax.lax.top_k(ranked, cap)
+        boxes = fg_boxes[idx]
+        labels = fg_labels[idx]
+        valid = top_scores > 0
+        keep = nms_keep_mask(
+            boxes, top_scores, valid, cfg.nms_thresh, labels=labels,
+            use_pallas=use_pallas_nms,
+        )
+        final = jnp.where(keep, top_scores, -1.0)
+        nd = min(cfg.detections_per_img, final.shape[0])
+        out_scores, out_idx = jax.lax.top_k(final, nd)
+        ov = out_scores > 0
+        return dict(
+            boxes=boxes[out_idx],
+            scores=jnp.maximum(out_scores, 0.0),
+            labels=jnp.where(ov, labels[out_idx], 0),
+            valid=ov,
+        )
+
+    return jax.vmap(single)(cls_logits, bbox_pred, proposals, prop_valid,
+                            image_sizes)
