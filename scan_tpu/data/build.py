@@ -128,12 +128,12 @@ class DetectionLoader:
             img = self.dataset.load_image(i)
             gt_boxes, gt_labels = self.dataset.get_raw_target(i)
             oh0, ow0 = img.shape[:2]
-            img, gt_boxes, (oh, ow) = self.pre(img, gt_boxes)
+            # fused native resize+normalize straight into the padded slot
+            gt_boxes, (oh, ow) = self.pre.into_buffer(img, gt_boxes, images[slot])
             if oh > H or ow > W:
                 raise ValueError(
                     f"image {i} resized to ({oh},{ow}) exceeds bucket {self.bucket_hw}"
                 )
-            images[slot, :oh, :ow] = img
             sizes[slot] = (oh, ow)
             n = min(len(gt_labels), self.max_boxes)
             if n:

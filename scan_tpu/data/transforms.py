@@ -47,6 +47,51 @@ class Preprocessor:
         self.flip_prob = flip_prob
         self.rng = random.Random(seed)
 
+    def plan(self, h: int, w: int):
+        """Draw the (resize target, flip) decisions for one image."""
+        size = self.rng.choice(self.min_sizes)
+        oh, ow = get_resize_hw(w, h, size, self.max_size)
+        flip = self.flip_prob > 0 and self.rng.random() < self.flip_prob
+        return oh, ow, flip
+
+    def transform_boxes(self, boxes, h, w, oh, ow, flip):
+        if boxes is not None and boxes.size:
+            rw, rh = ow / w, oh / h
+            boxes = boxes * np.asarray([rw, rh, rw, rh], np.float32)
+            if flip:
+                x1 = ow - boxes[:, 2] - 1
+                x2 = ow - boxes[:, 0] - 1
+                boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+        return boxes
+
+    def into_buffer(self, image: np.ndarray, boxes, out: np.ndarray):
+        """Fused path: resize+flip+normalize straight into the padded
+        (H, W, 3) float32 buffer (native C++ kernel when available; the
+        flip commutes with the symmetric resize filter so it is applied to
+        the source view). Returns (boxes, (oh, ow))."""
+        h, w = image.shape[:2]
+        oh, ow, flip = self.plan(h, w)
+        src = image[:, ::-1] if flip else image
+        from ..native import preprocess_image as native_pre
+
+        ok = native_pre(src, out, oh, ow, self.mean, self.std, self.to_bgr255)
+        if not ok:  # pure-python fallback
+            img, _, _ = self._apply(src, oh, ow)
+            out[:oh, :ow] = img
+        boxes = self.transform_boxes(boxes, h, w, oh, ow, flip)
+        return boxes, (oh, ow)
+
+    def _apply(self, image, oh, ow):
+        h, w = image.shape[:2]
+        if (oh, ow) != (h, w):
+            pil = Image.fromarray(image)
+            image = np.asarray(pil.resize((ow, oh), Image.BILINEAR))
+        img = image.astype(np.float32) / 255.0
+        if self.to_bgr255:
+            img = img[:, :, ::-1] * 255.0
+        img = (img - self.mean) / self.std
+        return np.ascontiguousarray(img), None, (oh, ow)
+
     def __call__(self, image: np.ndarray, boxes: np.ndarray):
         """image: (H, W, 3) uint8 RGB. boxes: (n, 4) xyxy or None.
 

@@ -1,0 +1,209 @@
+// Native host-side image preprocessing for the data loader.
+//
+// The reference's input pipeline is PIL resize + torchvision normalize on
+// Python threads (reference fcos_core/data/transforms/transforms.py:27-90).
+// This C++ kernel fuses resize -> BGR*255 -> mean-subtract -> pad into one
+// pass over the image, which is the host-side hot path that feeds the TPU.
+//
+// The resize replicates PIL's convolution resampling with a triangle
+// (bilinear) filter whose support scales with the downscale factor
+// (Pillow src/libImaging/Resample.c), so outputs match the PIL fallback to
+// ~1 LSB and the mAP-relevant preprocessing is identical either way.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct FilterTaps {
+  std::vector<int> bounds;   // 2 * out: (xmin, xsize)
+  std::vector<double> taps;  // out * ksize
+  int ksize;
+};
+
+// Triangle filter, support 1.0 (Pillow BILINEAR).
+inline double triangle(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+FilterTaps compute_taps(int in_size, int out_size) {
+  const double support_base = 1.0;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = support_base * filterscale;
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+
+  FilterTaps ft;
+  ft.ksize = ksize;
+  ft.bounds.resize(2 * out_size);
+  ft.taps.assign(static_cast<size_t>(out_size) * ksize, 0.0);
+
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+
+    double* k = &ft.taps[static_cast<size_t>(xx) * ksize];
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = triangle((x + xmin - center + 0.5) / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0) {
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    }
+    ft.bounds[xx * 2 + 0] = xmin;
+    ft.bounds[xx * 2 + 1] = xmax;
+  }
+  return ft;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused: resize (ih, iw, 3) uint8 RGB -> (oh, ow) and write normalized
+// float32 into dst (dh, dw, 3) zero-padded buffer.
+// to_bgr255: swap channels and scale to 0..255 before mean/std.
+int preprocess_image(const uint8_t* src, int ih, int iw, float* dst, int dh,
+                     int dw, int oh, int ow, const float* mean,
+                     const float* std_, int to_bgr255) {
+  if (oh > dh || ow > dw || ih <= 0 || iw <= 0 || oh <= 0 || ow <= 0)
+    return -1;
+
+  const FilterTaps fx = compute_taps(iw, ow);
+  const FilterTaps fy = compute_taps(ih, oh);
+
+  // horizontal pass: (ih, ow, 3) doubles
+  std::vector<double> tmp(static_cast<size_t>(ih) * ow * 3);
+  for (int y = 0; y < ih; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * iw * 3;
+    double* out_row = &tmp[static_cast<size_t>(y) * ow * 3];
+    for (int x = 0; x < ow; ++x) {
+      const int xmin = fx.bounds[x * 2 + 0];
+      const int xsize = fx.bounds[x * 2 + 1];
+      const double* k = &fx.taps[static_cast<size_t>(x) * fx.ksize];
+      double acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int i = 0; i < xsize; ++i) {
+        const uint8_t* px = row + static_cast<size_t>(xmin + i) * 3;
+        acc0 += px[0] * k[i];
+        acc1 += px[1] * k[i];
+        acc2 += px[2] * k[i];
+      }
+      out_row[x * 3 + 0] = acc0;
+      out_row[x * 3 + 1] = acc1;
+      out_row[x * 3 + 2] = acc2;
+    }
+  }
+
+  // vertical pass + normalize + pad-write
+  const double scale255 = to_bgr255 ? 1.0 : (1.0 / 255.0);
+  for (int y = 0; y < oh; ++y) {
+    const int ymin = fy.bounds[y * 2 + 0];
+    const int ysize = fy.bounds[y * 2 + 1];
+    const double* k = &fy.taps[static_cast<size_t>(y) * fy.ksize];
+    float* out_row = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < ow; ++x) {
+      double acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int i = 0; i < ysize; ++i) {
+        const double* px =
+            &tmp[(static_cast<size_t>(ymin + i) * ow + x) * 3];
+        acc0 += px[0] * k[i];
+        acc1 += px[1] * k[i];
+        acc2 += px[2] * k[i];
+      }
+      // PIL clips+rounds to uint8 after resize; replicate before normalize.
+      double r = std::min(255.0, std::max(0.0, std::round(acc0)));
+      double g = std::min(255.0, std::max(0.0, std::round(acc1)));
+      double b = std::min(255.0, std::max(0.0, std::round(acc2)));
+      double c0, c1, c2;
+      if (to_bgr255) {
+        c0 = b;
+        c1 = g;
+        c2 = r;
+      } else {
+        c0 = r * scale255;
+        c1 = g * scale255;
+        c2 = b * scale255;
+      }
+      out_row[x * 3 + 0] = static_cast<float>((c0 - mean[0]) / std_[0]);
+      out_row[x * 3 + 1] = static_cast<float>((c1 - mean[1]) / std_[1]);
+      out_row[x * 3 + 2] = static_cast<float>((c2 - mean[2]) / std_[2]);
+    }
+  }
+  return 0;
+}
+
+// Greedy hard NMS with the legacy '+1' IoU convention
+// (reference csrc/cuda/nms.cu:13-21) over score-sorted boxes. Host-side
+// utility for eval tooling / CPU fallbacks.
+int nms_cpu(const float* boxes, const float* scores, const int* labels,
+            int n, float iou_threshold, int use_labels, uint8_t* keep) {
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int a, int b) { return scores[a] > scores[b]; });
+  std::vector<uint8_t> suppressed(n, 0);
+  int n_keep = 0;
+  for (int oi = 0; oi < n; ++oi) {
+    const int i = order[oi];
+    if (suppressed[i]) continue;
+    keep[i] = 1;
+    ++n_keep;
+    const float* bi = boxes + static_cast<size_t>(i) * 4;
+    const float area_i =
+        (bi[2] - bi[0] + 1.f) * (bi[3] - bi[1] + 1.f);
+    for (int oj = oi + 1; oj < n; ++oj) {
+      const int j = order[oj];
+      if (suppressed[j]) continue;
+      if (use_labels && labels[i] != labels[j]) continue;
+      const float* bj = boxes + static_cast<size_t>(j) * 4;
+      const float xx1 = std::max(bi[0], bj[0]);
+      const float yy1 = std::max(bi[1], bj[1]);
+      const float xx2 = std::min(bi[2], bj[2]);
+      const float yy2 = std::min(bi[3], bj[3]);
+      const float w = std::max(0.f, xx2 - xx1 + 1.f);
+      const float h = std::max(0.f, yy2 - yy1 + 1.f);
+      const float inter = w * h;
+      const float area_j =
+          (bj[2] - bj[0] + 1.f) * (bj[3] - bj[1] + 1.f);
+      if (inter / (area_i + area_j - inter) > iou_threshold)
+        suppressed[j] = 1;
+    }
+  }
+  return n_keep;
+}
+
+// Pairwise IoU matrix (xywh, crowd-aware union) — the COCO evaluator's
+// inner loop (pycocotools maskUtils.iou semantics).
+void iou_matrix_xywh(const float* det, int nd, const float* gt, int ng,
+                     const uint8_t* iscrowd, double* out) {
+  for (int d = 0; d < nd; ++d) {
+    const float* db = det + static_cast<size_t>(d) * 4;
+    const double da = static_cast<double>(db[2]) * db[3];
+    for (int g = 0; g < ng; ++g) {
+      const float* gb = gt + static_cast<size_t>(g) * 4;
+      const double ga = static_cast<double>(gb[2]) * gb[3];
+      const double ix =
+          std::max(0.0, std::min<double>(db[0] + db[2], gb[0] + gb[2]) -
+                            std::max<double>(db[0], gb[0]));
+      const double iy =
+          std::max(0.0, std::min<double>(db[1] + db[3], gb[1] + gb[3]) -
+                            std::max<double>(db[1], gb[1]));
+      const double inter = ix * iy;
+      const double uni = iscrowd[g] ? da : da + ga - inter;
+      out[static_cast<size_t>(d) * ng + g] =
+          uni > 1e-10 ? inter / uni : 0.0;
+    }
+  }
+}
+
+}  // extern "C"

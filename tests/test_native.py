@@ -1,0 +1,95 @@
+"""Native C++ component tests: builds the library and checks numeric parity
+against the pure-Python (PIL/numpy) fallbacks."""
+
+import numpy as np
+import pytest
+
+from scan_tpu import native
+from scan_tpu.data.transforms import Preprocessor
+
+
+@pytest.fixture(scope="module")
+def lib():
+    l = native.get_lib()
+    if l is None:
+        pytest.skip("native toolchain unavailable")
+    return l
+
+
+def test_native_preprocess_matches_pil(lib):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (37, 53, 3), dtype=np.uint8)
+    mean = [102.9801, 115.9465, 122.7717]
+    pre = Preprocessor([24], 40, mean, [1, 1, 1], to_bgr255=True)
+
+    # PIL reference path
+    want, _, (oh, ow) = pre(img, None)
+
+    out = np.zeros((32, 64, 3), np.float32)
+    ok = native.preprocess_image(img, out, oh, ow, mean, [1, 1, 1], True)
+    assert ok
+    got = out[:oh, :ow]
+    # PIL uses fixed-point taps; allow ~1 intensity step of tolerance
+    assert np.abs(got - want).max() <= 1.5
+    assert np.abs(got - want).mean() < 0.3
+    # padding stays zero
+    assert np.all(out[oh:] == 0) and np.all(out[:, ow:] == 0)
+
+
+def test_native_preprocess_identity_size(lib):
+    img = np.full((16, 16, 3), 100, np.uint8)
+    img[:, :, 0] = 200
+    out = np.zeros((16, 16, 3), np.float32)
+    ok = native.preprocess_image(
+        img, out, 16, 16, [10.0, 20.0, 30.0], [1, 1, 1], True
+    )
+    assert ok
+    # BGR swap: channel 0 = B(100) - 10
+    np.testing.assert_allclose(out[0, 0], [90.0, 80.0, 170.0])
+
+
+def test_native_nms_matches_oracle(lib):
+    rng = np.random.RandomState(1)
+    n = 100
+    xy = rng.uniform(0, 80, (n, 2))
+    wh = rng.uniform(5, 50, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    keep = native.nms_cpu(boxes, scores, 0.5)
+
+    import jax.numpy as jnp
+
+    from scan_tpu.ops.nms import nms
+
+    want = np.asarray(
+        nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5)
+    )
+    np.testing.assert_array_equal(keep, want)
+
+
+def test_native_iou_matrix(lib):
+    det = np.asarray([[0, 0, 10, 10], [5, 5, 10, 10]], np.float32)
+    gt = np.asarray([[0, 0, 10, 10]], np.float32)
+    out = native.iou_matrix_xywh(det, gt, np.zeros(1, np.uint8))
+    np.testing.assert_allclose(out[0, 0], 1.0)
+    np.testing.assert_allclose(out[1, 0], 25.0 / 175.0, rtol=1e-6)
+    # crowd: union = det area
+    out_c = native.iou_matrix_xywh(det, gt, np.ones(1, np.uint8))
+    np.testing.assert_allclose(out_c[1, 0], 25.0 / 100.0, rtol=1e-6)
+
+
+def test_loader_native_path_consistency():
+    """into_buffer (native or fallback) must agree with the legacy __call__
+    path on boxes and sizes."""
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+    boxes = np.asarray([[4.0, 6, 30, 40]], np.float32)
+    mean = [102.9801, 115.9465, 122.7717]
+    pre1 = Preprocessor([48], 80, mean, [1, 1, 1], flip_prob=0.0, seed=5)
+    pre2 = Preprocessor([48], 80, mean, [1, 1, 1], flip_prob=0.0, seed=5)
+    want_img, want_boxes, (oh, ow) = pre1(img, boxes.copy())
+    out = np.zeros((64, 96, 3), np.float32)
+    got_boxes, (oh2, ow2) = pre2.into_buffer(img, boxes.copy(), out)
+    assert (oh, ow) == (oh2, ow2)
+    np.testing.assert_allclose(got_boxes, want_boxes)
+    assert np.abs(out[:oh, :ow] - want_img).max() <= 1.5
