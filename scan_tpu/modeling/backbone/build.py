@@ -96,6 +96,28 @@ def build_resnet_fpn_backbone(cfg, dtype=None):
     )
 
 
+@BACKBONES.register("MNV2-FPN-RETINANET")
+def build_mnv2_fpn_backbone(cfg, dtype=None):
+    from .mobilenet import MobileNetV2
+
+    out_channels = cfg.MODEL.BACKBONE.get("OUT_CHANNELS", 256) if hasattr(
+        cfg.MODEL.BACKBONE, "get"
+    ) else 256
+    return _BackboneWithFPN(
+        body_cls=MobileNetV2,
+        body_kwargs=dict(freeze_at=0),
+        fpn_kwargs=dict(
+            in_features=(1, 2, 3),  # C3, C4, C5
+            out_channels=out_channels,
+            top_block="p6p7",
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+            use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,
+        ),
+        dtype=dtype,
+    )
+
+
 def build_backbone(cfg, dtype=None):
     body = cfg.MODEL.BACKBONE.CONV_BODY
     if body not in BACKBONES:

@@ -37,9 +37,12 @@ def _even_subset_mask(select_from: jnp.ndarray, want: jnp.ndarray) -> jnp.ndarra
     """
     n = jnp.maximum(jnp.sum(select_from.astype(jnp.int32)), 1)
     rank = jnp.cumsum(select_from.astype(jnp.int32)) - 1  # rank among True
-    want = want.astype(jnp.int64)
-    cur = (rank.astype(jnp.int64) + 1) * want // n
-    prev = rank.astype(jnp.int64) * want // n
+    # float64-free proportional selection; products stay < 2^31 for any
+    # realistic (num_locations x num_positives) pair after the f32 divide
+    w = want.astype(jnp.float32)
+    nf = n.astype(jnp.float32)
+    cur = jnp.floor((rank.astype(jnp.float32) + 1) * w / nf)
+    prev = jnp.floor(rank.astype(jnp.float32) * w / nf)
     return select_from & (cur > prev)
 
 
@@ -165,6 +168,56 @@ def density_cluster_drop_first(
     return jnp.where(any_core, keep, valid)
 
 
+def kmeans2_minority(points, valid, iters: int = 8):
+    """Fixed-iteration 2-means over candidate features; keep the minority
+    cluster. Parity target: reference ``KMEANS_batch_ClS_FEAT``
+    (loss.py:361-393): sklearn k-means(2) over act-weighted features with a
+    size-order flip so the kept cluster (label 1) is the smaller one.
+    """
+    k0 = points[jnp.argmax(valid)]  # first valid point
+    norms = jnp.where(valid, jnp.sum(points * points, axis=1), -1.0)
+    k1 = points[jnp.argmax(norms)]  # farthest-energy point as 2nd seed
+
+    def step(_, centers):
+        c0, c1 = centers
+        d0 = jnp.sum((points - c0) ** 2, axis=1)
+        d1 = jnp.sum((points - c1) ** 2, axis=1)
+        assign = (d1 < d0) & valid
+        w1 = assign.astype(points.dtype)
+        w0 = (valid & ~assign).astype(points.dtype)
+        new_c0 = (w0 @ points) / jnp.maximum(jnp.sum(w0), 1.0)
+        new_c1 = (w1 @ points) / jnp.maximum(jnp.sum(w1), 1.0)
+        return (new_c0, new_c1)
+
+    c0, c1 = jax.lax.fori_loop(0, iters, step, (k0, k1))
+    d0 = jnp.sum((points - c0) ** 2, axis=1)
+    d1 = jnp.sum((points - c1) ** 2, axis=1)
+    in1 = (d1 < d0) & valid
+    n1 = jnp.sum(in1.astype(jnp.int32))
+    n0 = jnp.sum((valid & ~in1).astype(jnp.int32))
+    # keep the minority cluster (reference flips when sizes are inverted)
+    keep = jnp.where(n1 <= n0, in1, valid & ~in1)
+    return keep
+
+
+def meanshift_high_mode(scores, valid, bandwidth: float = 0.1,
+                        iters: int = 10):
+    """Fixed-iteration 1-D mean shift over activation scores; keep points
+    whose converged mode exceeds the overall valid mean. Approximates the
+    reference's MeanShift_GPU-based sampling (loss.py:482-488,
+    layers/mean_shift.py:26-101) on device."""
+    x = jnp.where(valid, scores, 0.0)
+
+    def step(_, y):
+        diff = y[:, None] - x[None, :]
+        w = jnp.exp(-0.5 * (diff / bandwidth) ** 2) * valid[None, :]
+        return (w @ x) / jnp.maximum(jnp.sum(w, axis=1), 1e-8)
+
+    modes = jax.lax.fori_loop(0, iters, step, x)
+    mean_all = jnp.sum(x) / jnp.maximum(jnp.sum(valid), 1.0)
+    return valid & (modes > mean_all)
+
+
 def sample_target_nodes(
     features: Sequence[jnp.ndarray],  # NHWC per level
     act_maps: Sequence[jnp.ndarray],  # (B, H, W, C_used) probabilities
@@ -191,6 +244,42 @@ def sample_target_nodes(
 
         if sampling_cfg == "score_threshold":
             conf_pos = jnp.any(fg > score_threshold, axis=-1)
+        elif sampling_cfg == "kmeans":
+            # act>0.5 candidates, 2-means over act-weighted features, keep
+            # the minority cluster (reference loss.py:361-393,490-491).
+            n_loc = ff.shape[0]
+            cand_score = fg.T.reshape(-1)
+            cand_mask = cand_score > 0.5
+            k = min(max_candidates_per_level, cand_score.shape[0])
+            top_scores, top_idx = jax.lax.top_k(
+                jnp.where(cand_mask, cand_score, -1.0), k
+            )
+            cand_valid = top_scores > 0
+            loc_idx = top_idx % n_loc
+            pts = ff[loc_idx] * top_scores[:, None] * cand_valid[:, None]
+            keep = kmeans2_minority(pts, cand_valid)
+            conf_pos = (
+                jnp.zeros((n_loc,), jnp.int32)
+                .at[loc_idx]
+                .add(keep.astype(jnp.int32))
+                > 0
+            )
+        elif sampling_cfg == "mean_shift":
+            # per-class 1-D mean shift over activation scores
+            # (reference loss.py:482-488), capped per level.
+            n_loc = ff.shape[0]
+            cand_score = fg.T.reshape(-1)
+            k = min(max_candidates_per_level * 2, cand_score.shape[0])
+            top_scores, top_idx = jax.lax.top_k(cand_score, k)
+            cand_valid = top_scores > 1e-4
+            keep = meanshift_high_mode(top_scores, cand_valid)
+            loc_idx = top_idx % n_loc
+            conf_pos = (
+                jnp.zeros((n_loc,), jnp.int32)
+                .at[loc_idx]
+                .add(keep.astype(jnp.int32))
+                > 0
+            )
         elif sampling_cfg == "dbscan":
             # Candidate (location, class) pairs above the threshold; each
             # carries feature * act weight (reference loss.py:404-414).

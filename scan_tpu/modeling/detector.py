@@ -85,8 +85,10 @@ class SCANDetector:
             nms_thresh=head_cfg.NMS_TH,
             fpn_post_nms_top_n=cfg.TEST.DETECTIONS_PER_IMG,
             num_classes=self.num_classes,
-            # VMEM-resident Pallas NMS on TPU; XLA fori_loop fallback on CPU.
-            use_pallas_nms=jax.default_backend() != "cpu",
+            # The XLA fori_loop NMS benchmarks faster than the Pallas kernel
+            # here (the greedy scan is scalar-sequential either way and
+            # Mosaic's per-iteration overhead dominates); keep Pallas opt-in.
+            use_pallas_nms=cfg.TPU.get("USE_PALLAS_NMS", False),
         )
 
         # ---------------- discriminators ----------------

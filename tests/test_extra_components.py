@@ -1,0 +1,129 @@
+"""Tests for auxiliary components: deform conv, MobileNetV2, target-sampling
+variants, expected-results checker, ROI ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scan_tpu.ops.deform_conv import deform_conv2d
+from scan_tpu.ops.roi_align import roi_align
+from scan_tpu.evaluation.expected_results import check_expected_results
+from scan_tpu.modeling.condgraph.sampling import (
+    density_cluster_drop_first,
+    kmeans2_minority,
+    meanshift_high_mode,
+    sample_target_nodes,
+)
+
+
+def test_deform_conv_zero_offset_equals_conv():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 9, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 4, 6), jnp.float32)
+    offsets = jnp.zeros((1, 8, 9, 18))
+    got = deform_conv2d(x, offsets, w)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_deform_conv_integer_shift():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 10, 10, 2), jnp.float32)
+    # 1x1-like kernel via 3x3 with only centre tap nonzero
+    w = jnp.zeros((3, 3, 2, 2)).at[1, 1].set(jnp.eye(2))
+    # shift every sample by (dy=1, dx=0): out[y] = x[y+1]
+    offsets = jnp.zeros((1, 10, 10, 18)).at[..., 2 * 4].set(1.0)
+    got = np.asarray(deform_conv2d(x, offsets, w))
+    want = np.asarray(x)[:, 1:, :, :]
+    np.testing.assert_allclose(got[:, :-1], want, atol=1e-5)
+
+
+def test_mobilenet_v2_endpoints():
+    from scan_tpu.modeling.backbone.mobilenet import MobileNetV2
+
+    m = MobileNetV2()
+    x = jnp.zeros((1, 64, 96, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x)
+    shapes = [(o.shape[1], o.shape[2], o.shape[3]) for o in outs]
+    assert shapes == [(16, 24, 24), (8, 12, 32), (4, 6, 96), (2, 3, 320)]
+
+
+def test_mnv2_fpn_builder():
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.modeling.backbone.build import build_backbone
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "MNV2-FPN-RETINANET"
+    cfg.MODEL.RETINANET.USE_C5 = False
+    model = build_backbone(cfg)
+    x = jnp.zeros((1, 64, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert len(feats) == 5
+    assert feats[0].shape == (1, 8, 12, 256)
+
+
+def test_kmeans_minority():
+    rng = np.random.RandomState(2)
+    big = rng.randn(40, 8) * 0.1
+    small = rng.randn(8, 8) * 0.1 + 5.0
+    pts = jnp.asarray(np.vstack([big, small]), jnp.float32)
+    valid = jnp.ones((48,), bool)
+    keep = np.asarray(kmeans2_minority(pts, valid))
+    assert keep[40:].all() and not keep[:40].any()
+
+
+def test_meanshift_high_mode():
+    scores = jnp.asarray([0.01] * 30 + [0.9] * 5, jnp.float32)
+    valid = jnp.ones((35,), bool)
+    keep = np.asarray(meanshift_high_mode(scores, valid))
+    assert keep[30:].all() and not keep[:30].any()
+
+
+def test_density_cluster_keeps_secondary_blobs():
+    rng = np.random.RandomState(3)
+    blob0 = rng.randn(30, 4) * 0.05          # dominant blob -> dropped
+    blob1 = rng.randn(10, 4) * 0.05 + 10.0   # secondary -> kept
+    lone = np.ones((1, 4)) * 50.0            # noise -> kept
+    pts = jnp.asarray(np.vstack([blob0, blob1, lone]), jnp.float32)
+    valid = jnp.ones((41,), bool)
+    keep = np.asarray(density_cluster_drop_first(pts, valid, eps=1.0))
+    assert not keep[:30].any()
+    assert keep[30:40].all()
+    assert keep[40]
+
+
+def test_sample_target_modes_run():
+    rng = np.random.RandomState(4)
+    feats = [jnp.asarray(rng.randn(1, 8, 10, 16), jnp.float32) for _ in range(2)]
+    acts = [
+        jnp.asarray(jax.nn.softmax(rng.randn(1, 8, 10, 4), -1), jnp.float32)
+        for _ in range(2)
+    ]
+    for mode in ("score_threshold", "dbscan", "kmeans", "mean_shift"):
+        nodes, labels, valid, any_nodes = sample_target_nodes(
+            feats, acts, max_nodes=32, sampling_cfg=mode,
+            score_threshold=0.3, max_candidates_per_level=64,
+        )
+        assert nodes.shape == (32, 16)
+        assert np.all(np.isfinite(np.asarray(nodes)))
+
+
+def test_expected_results_checker():
+    results = {"AP50": 0.42}
+    assert check_expected_results(results, [("bbox", "AP50", 0.41, 0.01)], 2)
+    assert not check_expected_results(results, [("bbox", "AP50", 0.30, 0.01)], 2)
+    assert check_expected_results(results, [], 2)
+
+
+def test_roi_align_known_values():
+    ramp = jnp.broadcast_to(jnp.arange(16.0)[None, :, None], (16, 16, 1))[None]
+    out = roi_align(ramp, jnp.asarray([[8.0, 8, 40, 40]]), jnp.asarray([0]),
+                    4, 0.25, 2)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, :, 0]), [3.0, 5.0, 7.0, 9.0], atol=1e-5
+    )
