@@ -1,0 +1,66 @@
+"""Space-to-depth VGG stem: exact numeric parity with the naive stage 1."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scan_tpu.modeling.backbone.vgg import VGG16, _s2d, _s2d_conv_weight
+
+
+def test_s2d_layout():
+    x = jnp.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3).astype(jnp.float32)
+    s = _s2d(x)
+    assert s.shape == (2, 2, 2, 12)
+    # channel (py*2+px)*3+c
+    np.testing.assert_allclose(s[0, 0, 0, 0:3], x[0, 0, 0])
+    np.testing.assert_allclose(s[0, 0, 0, 3:6], x[0, 0, 1])
+    np.testing.assert_allclose(s[0, 0, 0, 6:9], x[0, 1, 0])
+    np.testing.assert_allclose(s[0, 0, 0, 9:12], x[0, 1, 1])
+
+
+def test_s2d_conv_weight_equivalence():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 12, 3), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 5), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ws = _s2d_conv_weight(w)
+    got_s = jax.lax.conv_general_dilated(
+        _s2d(x), ws, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # undo s2d on the output: channel (p*2+q)*5+o at cell (i,j) is
+    # full-res pixel (2i+p, 2j+q)
+    b, hs, ws_, c4 = got_s.shape
+    got = got_s.reshape(b, hs, ws_, 2, 2, 5).transpose(0, 1, 3, 2, 4, 5)
+    got = got.reshape(b, hs * 2, ws_ * 2, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_vgg_s2d_stem_matches_naive():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 32, 48, 3), jnp.float32)
+    naive = VGG16(s2d_stage1=False)
+    fast = VGG16(s2d_stage1=True)
+    params = naive.init(jax.random.PRNGKey(0), x)
+    out_naive = naive.apply(params, x)
+    out_fast = fast.apply(params, x)  # SAME params tree
+    for a, b in zip(out_naive, out_fast):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_vgg_s2d_param_tree_identical():
+    x = jnp.zeros((1, 32, 48, 3))
+    p_naive = VGG16(s2d_stage1=False).init(jax.random.PRNGKey(0), x)
+    p_fast = VGG16(s2d_stage1=True).init(jax.random.PRNGKey(0), x)
+    t1 = jax.tree_util.tree_structure(p_naive)
+    t2 = jax.tree_util.tree_structure(p_fast)
+    assert t1 == t2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_naive), jax.tree_util.tree_leaves(p_fast)
+    ):
+        assert a.shape == b.shape
