@@ -46,6 +46,9 @@ class ATSSConfig:
     octave: float = 2.0
     scales_per_octave: int = 1
     topk: int = 9
+    positive_type: str = "ATSS"
+    fg_iou_thresh: float = 0.5
+    bg_iou_thresh: float = 0.4
     loss_gamma: float = 2.0
     loss_alpha: float = 0.25
     reg_loss_weight: float = 2.0
@@ -68,6 +71,9 @@ class ATSSConfig:
             octave=a.OCTAVE,
             scales_per_octave=a.SCALES_PER_OCTAVE,
             topk=a.TOPK,
+            positive_type=a.POSITIVE_TYPE,
+            fg_iou_thresh=a.FG_IOU_THRESHOLD,
+            bg_iou_thresh=a.BG_IOU_THRESHOLD,
             loss_gamma=a.LOSS_GAMMA,
             loss_alpha=a.LOSS_ALPHA,
             reg_loss_weight=a.REG_LOSS_WEIGHT,
@@ -191,6 +197,98 @@ def atss_decode(cfg: ATSSConfig, preds, anchors):
 
 
 # ---------------------------------------------------------------------- #
+# positive-sample selection variants (reference loss.py POSITIVE_TYPE)
+# ---------------------------------------------------------------------- #
+def ssc_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
+                      gt_boxes, gt_labels, gt_mask):
+    """'SSC' — the FCOS size-of-interest assignment on anchor centres
+    (reference loss.py:120-162)."""
+    from ..fcos.targets import compute_targets_single, expand_soi
+
+    cx = (anchors_cat[:, 2] + anchors_cat[:, 0]) / 2
+    cy = (anchors_cat[:, 3] + anchors_cat[:, 1]) / 2
+    points = jnp.stack([cx, cy], axis=1)
+    soi = expand_soi(level_counts)
+    labels, _ = compute_targets_single(points, soi, gt_boxes, gt_labels, gt_mask)
+    # matched gt for regression: re-derive min-area assignment
+    ious = box_iou(anchors_cat, gt_boxes, plus_one=True)
+    ious = jnp.where(gt_mask[None, :], ious, -1.0)
+    best_gt = jnp.argmax(ious, axis=1)
+    matched = jnp.take(gt_boxes, best_gt, axis=0)
+    return labels, matched
+
+
+def iou_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
+                      gt_boxes, gt_labels, gt_mask):
+    """'IoU' — RetinaNet-style matcher + centre-inside-gt filter
+    (reference loss.py:321-351). Ignored anchors get label -1."""
+    from ..retinanet import matcher_assign
+
+    ious = box_iou(anchors_cat, gt_boxes, plus_one=True) * gt_mask[None, :]
+    matches = matcher_assign(ious, cfg.fg_iou_thresh, cfg.bg_iou_thresh)
+    matches = jnp.where(jnp.any(gt_mask), matches, -1)
+    labels = jnp.where(
+        matches >= 0, jnp.take(gt_labels, jnp.maximum(matches, 0)), 0
+    )
+    labels = jnp.where(matches == -2, -1, labels).astype(jnp.int32)
+    matched = jnp.take(gt_boxes, jnp.maximum(matches, 0), axis=0)
+    # centre-inside-gt filter on positives
+    cx = (anchors_cat[:, 2] + anchors_cat[:, 0]) / 2
+    cy = (anchors_cat[:, 3] + anchors_cat[:, 1]) / 2
+    inside = (
+        jnp.minimum(
+            jnp.minimum(cx - matched[:, 0], cy - matched[:, 1]),
+            jnp.minimum(matched[:, 2] - cx, matched[:, 3] - cy),
+        )
+        > 0.01
+    )
+    labels = jnp.where((labels > 0) & ~inside, -1, labels)
+    return labels, matched
+
+
+def topk_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
+                       gt_boxes, gt_labels, gt_mask):
+    """'TOPK' — per-gt top-k by (iou - normalised distance)
+    (reference loss.py:292-320)."""
+    ious = box_iou(anchors_cat, gt_boxes, plus_one=True)
+    cx = (anchors_cat[:, 2] + anchors_cat[:, 0]) / 2
+    cy = (anchors_cat[:, 3] + anchors_cat[:, 1]) / 2
+    gcx = (gt_boxes[:, 2] + gt_boxes[:, 0]) / 2
+    gcy = (gt_boxes[:, 3] + gt_boxes[:, 1]) / 2
+    dist = jnp.sqrt(
+        (cx[:, None] - gcx[None, :]) ** 2 + (cy[:, None] - gcy[None, :]) ** 2
+    )
+    dist = dist / jnp.maximum(jnp.max(dist), 1e-6) / 1000.0
+    score = ious - dist
+    k = min(cfg.topk, score.shape[0])
+    _, idx = jax.lax.top_k(score.T, k)  # (G, k)
+    is_pos = jnp.zeros(ious.shape, bool)
+    is_pos = is_pos.at[idx, jnp.arange(gt_boxes.shape[0])[:, None]].set(True)
+    inside = (
+        jnp.minimum(
+            jnp.minimum(
+                cx[:, None] - gt_boxes[None, :, 0],
+                cy[:, None] - gt_boxes[None, :, 1],
+            ),
+            jnp.minimum(
+                gt_boxes[None, :, 2] - cx[:, None],
+                gt_boxes[None, :, 3] - cy[:, None],
+            ),
+        )
+        > 0.01
+    )
+    is_pos = is_pos & inside & gt_mask[None, :]
+    ious_masked = jnp.where(is_pos, ious, -INF)
+    best_iou = jnp.max(ious_masked, axis=1)
+    best_gt = jnp.argmax(ious_masked, axis=1)
+    labels = jnp.where(
+        best_iou > -INF / 2, jnp.take(gt_labels, best_gt), 0
+    ).astype(jnp.int32)
+    matched = jnp.take(gt_boxes, best_gt, axis=0)
+    return labels, matched
+
+
+# ---------------------------------------------------------------------- #
 # adaptive training sample selection
 # ---------------------------------------------------------------------- #
 def atss_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
@@ -302,10 +400,14 @@ def atss_losses(cfg: ATSSConfig, anchors_levels, box_cls, box_regression,
     level_counts = [a.shape[0] for a in anchors_levels]
     anchors_cat = jnp.concatenate(anchors_levels, axis=0)
 
+    assign_fn = {
+        "ATSS": atss_assign_single,
+        "SSC": ssc_assign_single,
+        "IoU": iou_assign_single,
+        "TOPK": topk_assign_single,
+    }[cfg.positive_type]
     assign = jax.vmap(
-        lambda b, l, m: atss_assign_single(
-            cfg, anchors_cat, level_counts, b, l, m
-        )
+        lambda b, l, m: assign_fn(cfg, anchors_cat, level_counts, b, l, m)
     )
     labels, matched = assign(gt_boxes, gt_labels, gt_mask)  # (B,L),(B,L,4)
 
@@ -328,10 +430,12 @@ def atss_losses(cfg: ATSSConfig, anchors_levels, box_cls, box_regression,
     anchors_flat = jnp.tile(anchors_cat, (gt_boxes.shape[0], 1))
 
     pos = labels_flat > 0
+    valid = labels_flat >= 0  # -1 = ignored (IoU positive type)
     num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
 
     cls_loss = sigmoid_focal_loss(
-        cls_flat, labels_flat, cfg.loss_gamma, cfg.loss_alpha
+        cls_flat, labels_flat, cfg.loss_gamma, cfg.loss_alpha,
+        valid_mask=valid,
     ) / num_pos
 
     ctr_targets = atss_centerness(reg_t_flat, anchors_flat, cfg)

@@ -87,10 +87,12 @@ class _ConvParamProxy(nn.Module):
 class VGG16(nn.Module):
     frozen_stages: int = 2
     with_bn: bool = False
-    # Space-to-depth stage 1: same parameters, 2-3x less padded-MXU work —
-    # the 3- and 64-channel full-resolution convs are the padding-bound hot
-    # spot on TPU (channels pad to 128 lanes). Exact numerics.
-    s2d_stage1: bool = True
+    # Space-to-depth stage 1 (exact numerics, same params). Measured on
+    # v5e: the lifted 3x3-over-s2d kernel spans a 6x6 full-res window (44%
+    # structural zeros), which cancels the channel-padding win — 90 vs 96
+    # img/s — so the naive stem stays the default. Kept as an option and a
+    # building block for a future s2d+pruned variant.
+    s2d_stage1: bool = False
     dtype: Optional[object] = None
 
     @nn.compact
