@@ -47,6 +47,7 @@ class ATSSConfig:
     scales_per_octave: int = 1
     topk: int = 9
     positive_type: str = "ATSS"
+    adapt_topk: tuple = None  # per-fg-class candidate counts (ADAPT_ATSS)
     fg_iou_thresh: float = 0.5
     bg_iou_thresh: float = 0.4
     loss_gamma: float = 2.0
@@ -291,10 +292,27 @@ def topk_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
 # ---------------------------------------------------------------------- #
 # adaptive training sample selection
 # ---------------------------------------------------------------------- #
+def compute_adapt_topk(class_counts, base_topk: int = 9, cap: int = 17):
+    """'ADAPT_ATSS' per-class topk from training-set class frequencies
+    (reference loss.py:41-60): rarer classes get more candidates:
+    clip(max(topk, ceil(mean/count * topk)), <= cap)."""
+    import numpy as np
+
+    counts = np.asarray(class_counts, np.float64)
+    adapt = np.ceil(counts.mean() / np.maximum(counts, 1) * base_topk)
+    return tuple(
+        int(v) for v in np.minimum(np.maximum(base_topk, adapt), cap)
+    )
+
+
 def atss_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
                        gt_boxes, gt_labels, gt_mask):
     """Per-image ATSS assignment. anchors_cat (L,4); level_counts static
-    list; gts padded (G,...). Returns labels (L,), matched_gt (L,4)."""
+    list; gts padded (G,...). Returns labels (L,), matched_gt (L,4).
+
+    When cfg.positive_type == 'ADAPT_ATSS', cfg.adapt_topk gives per-class
+    candidate counts (reference loss.py:222-290): the per-level top-k by
+    distance is taken at the cap and candidates are rank-masked per gt."""
     ious = box_iou(anchors_cat, gt_boxes, plus_one=True)  # (L, G)
 
     gt_cx = (gt_boxes[:, 2] + gt_boxes[:, 0]) / 2
@@ -306,18 +324,30 @@ def atss_assign_single(cfg: ATSSConfig, anchors_cat, level_counts,
         + (a_cy[:, None] - gt_cy[None, :]) ** 2
     )
 
-    # per-level topk candidates by distance
+    # per-level topk candidates by distance; ADAPT_ATSS rank-masks per gt
+    adaptive = cfg.positive_type == "ADAPT_ATSS" and cfg.adapt_topk is not None
+    if adaptive:
+        topk_tbl = jnp.asarray((cfg.topk,) + tuple(cfg.adapt_topk), jnp.int32)
+        per_gt_topk = topk_tbl[jnp.clip(gt_labels, 0, len(cfg.adapt_topk))]
+        topk = max(cfg.adapt_topk) * cfg.num_anchors
+    else:
+        per_gt_topk = None
+        topk = cfg.topk * cfg.num_anchors
+
     cand = jnp.zeros(ious.shape, bool)
     start = 0
-    topk = cfg.topk * cfg.num_anchors
     for n in level_counts:
         d = dist[start : start + n]  # (n, G)
         k = min(topk, n)
         _, idx = jax.lax.top_k(-d.T, k)  # (G, k) smallest distances
+        g_ids = jnp.arange(gt_boxes.shape[0])[:, None]
         lvl_mask = jnp.zeros((gt_boxes.shape[0], n), bool)
-        lvl_mask = lvl_mask.at[
-            jnp.arange(gt_boxes.shape[0])[:, None], idx
-        ].set(True)
+        if per_gt_topk is not None:
+            rank = jnp.broadcast_to(jnp.arange(k)[None, :], idx.shape)
+            sel = rank < per_gt_topk[:, None]
+            lvl_mask = lvl_mask.at[g_ids, idx].max(sel)
+        else:
+            lvl_mask = lvl_mask.at[g_ids, idx].set(True)
         cand = cand.at[start : start + n].set(lvl_mask.T)
         start += n
 
@@ -402,6 +432,7 @@ def atss_losses(cfg: ATSSConfig, anchors_levels, box_cls, box_regression,
 
     assign_fn = {
         "ATSS": atss_assign_single,
+        "ADAPT_ATSS": atss_assign_single,
         "SSC": ssc_assign_single,
         "IoU": iou_assign_single,
         "TOPK": topk_assign_single,

@@ -132,3 +132,30 @@ def test_atss_da_train_step_and_inference():
     out = det.forward_inference(params, proto, batch_s["images"], batch_s["sizes"])
     assert out["boxes"].shape == (1, 100, 4)
     assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+
+def test_adapt_atss_topk_table_and_assignment():
+    from scan_tpu.modeling.atss.atss import compute_adapt_topk
+    import dataclasses
+
+    tbl = compute_adapt_topk([1000, 100, 10], base_topk=9, cap=17)
+    assert tbl[0] == 9            # common class keeps base
+    assert tbl[2] == 17           # rare class capped at 17
+    assert tbl[1] >= tbl[0]
+
+    cfg = dataclasses.replace(
+        ATSSConfig(num_classes=4, topk=3), positive_type="ADAPT_ATSS",
+        adapt_topk=(3, 5, 9),
+    )
+    shapes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    anchors = grid_anchors(
+        shapes, cfg.strides,
+        atss_level_sizes(cfg.anchor_sizes, cfg.octave, cfg.scales_per_octave),
+        cfg.aspect_ratios,
+    )
+    labels, matched = atss_assign_single(
+        cfg, jnp.concatenate(anchors, 0), [a.shape[0] for a in anchors],
+        jnp.asarray([[0.0, 0, 63, 63]]), jnp.asarray([3]),
+        jnp.asarray([True]),
+    )
+    assert np.asarray(labels).max() == 3
