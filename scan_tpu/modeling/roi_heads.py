@@ -213,3 +213,66 @@ def roi_box_postprocess(cfg: RoIBoxConfig, cls_logits, bbox_pred, proposals,
 
     return jax.vmap(single)(cls_logits, bbox_pred, proposals, prop_valid,
                             image_sizes)
+
+
+# ---------------------------------------------------------------------- #
+# mask head (Mask R-CNN branch)
+# ---------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class RoIMaskConfig:
+    """Reference ``modeling/roi_heads/mask_head/*``: FPN pooler (14x14),
+    MaskRCNNFPNFeatureExtractor (4x [conv3x3 256 + relu]), deconv 2x
+    upsample + per-class 1x1 mask logits, BCE loss on positive proposals."""
+
+    num_classes: int = 81
+    pooler_resolution: int = 14
+    pooler_scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
+    sampling_ratio: int = 2
+    conv_layers: tuple = (256, 256, 256, 256)
+
+    @staticmethod
+    def from_cfg(cfg):
+        m = cfg.MODEL.ROI_MASK_HEAD
+        return RoIMaskConfig(
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            pooler_resolution=m.POOLER_RESOLUTION,
+            pooler_scales=tuple(m.POOLER_SCALES),
+            sampling_ratio=m.POOLER_SAMPLING_RATIO or 2,
+            conv_layers=tuple(m.CONV_LAYERS),
+        )
+
+
+class RoIMaskHead(nn.Module):
+    cfg: RoIMaskConfig
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, pooled):
+        x = pooled
+        for i, ch in enumerate(self.cfg.conv_layers):
+            x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                        kernel_init=nn.initializers.variance_scaling(
+                            2.0, "fan_out", "normal"),
+                        name=f"mask_fcn{i + 1}")(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(self.cfg.conv_layers[-1], (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name="conv5_mask")(x)
+        x = nn.relu(x)
+        logits = nn.Conv(self.cfg.num_classes, (1, 1), dtype=self.dtype,
+                         name="mask_fcn_logits")(x)
+        return logits.astype(jnp.float32)
+
+
+def roi_mask_loss(mask_logits, matched_labels, mask_targets, pos_mask):
+    """Per-class BCE over positive proposals (mask_head/loss.py). mask
+    targets are (N, S, S) bitmasks cropped+resized to the proposal."""
+    n, s, _, nc = mask_logits.shape
+    sel = jnp.take_along_axis(
+        mask_logits.reshape(n, s * s, nc),
+        jnp.maximum(matched_labels, 0)[:, None, None].repeat(s * s, 1),
+        axis=2,
+    )[:, :, 0].reshape(n, s, s)
+    t = mask_targets.astype(jnp.float32)
+    bce = jnp.maximum(sel, 0) - sel * t + jnp.log1p(jnp.exp(-jnp.abs(sel)))
+    m = pos_mask.astype(jnp.float32)[:, None, None]
+    return jnp.sum(bce * m) / jnp.maximum(jnp.sum(m) * s * s, 1.0)

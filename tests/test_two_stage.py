@@ -107,3 +107,19 @@ def test_generalized_rcnn_end_to_end():
     out = jax.jit(model.forward_inference)(params, images, sizes)
     assert out["boxes"].shape == (1, 100, 4)
     assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+
+def test_roi_mask_head():
+    from scan_tpu.modeling.roi_heads import RoIMaskConfig, RoIMaskHead, roi_mask_loss
+
+    cfg = RoIMaskConfig(num_classes=4, pooler_resolution=6, conv_layers=(32, 32))
+    head = RoIMaskHead(cfg)
+    pooled = jnp.zeros((3, 6, 6, 16))
+    params = head.init(jax.random.PRNGKey(0), pooled)
+    logits = head.apply(params, pooled)
+    assert logits.shape == (3, 12, 12, 4)
+    targets = jnp.zeros((3, 12, 12))
+    loss = roi_mask_loss(
+        logits, jnp.asarray([1, 2, 0]), targets, jnp.asarray([True, True, False])
+    )
+    assert np.isfinite(float(loss))
