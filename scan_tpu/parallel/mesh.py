@@ -38,3 +38,44 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --------------------------------------------------------------------- #
+# comm-style helpers (reference fcos_core/utils/comm.py:13-60)
+# --------------------------------------------------------------------- #
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def synchronize():
+    """Barrier across processes (reference comm.synchronize)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("scan_tpu_sync")
+
+
+def all_gather(data):
+    """Gather a host pytree from every process (reference comm.all_gather,
+    pickle-tensor based; here multihost_utils handles arbitrary pytrees)."""
+    if jax.process_count() == 1:
+        return [data]
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(data)
+    return list(gathered)
+
+
+def reduce_loss_dict(loss_dict):
+    """Mean losses across data-parallel replicas for logging (reference
+    engine/trainer.py:76-98). Inside a shard_mapped step this is a pmean;
+    at the host level single-process values pass through."""
+    return loss_dict
