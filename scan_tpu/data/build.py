@@ -92,6 +92,7 @@ class DetectionLoader:
         self.pre = build_preprocessor(cfg, is_train, seed=seed)
         self.bucket_hw = bucket_hw or compute_bucket_hw(dataset, cfg, is_train)
         self.num_threads = num_threads or cfg.TPU.LOADER_THREADS
+        self.device_normalize = bool(cfg.TPU.get("DEVICE_NORMALIZE", False))
 
     def __len__(self):
         if self.is_train:
@@ -117,7 +118,8 @@ class DetectionLoader:
     def _make_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
         H, W = self.bucket_hw
         bs = self.batch_size
-        images = np.zeros((bs, H, W, 3), np.float32)
+        img_dtype = np.uint8 if self.device_normalize else np.float32
+        images = np.zeros((bs, H, W, 3), img_dtype)
         sizes = np.zeros((bs, 2), np.int32)
         boxes = np.zeros((bs, self.max_boxes, 4), np.float32)
         labels = np.zeros((bs, self.max_boxes), np.int32)
@@ -128,8 +130,15 @@ class DetectionLoader:
             img = self.dataset.load_image(i)
             gt_boxes, gt_labels = self.dataset.get_raw_target(i)
             oh0, ow0 = img.shape[:2]
-            # fused native resize+normalize straight into the padded slot
-            gt_boxes, (oh, ow) = self.pre.into_buffer(img, gt_boxes, images[slot])
+            # fused native resize(+normalize) straight into the padded slot
+            if self.device_normalize:
+                gt_boxes, (oh, ow) = self.pre.into_buffer_u8(
+                    img, gt_boxes, images[slot]
+                )
+            else:
+                gt_boxes, (oh, ow) = self.pre.into_buffer(
+                    img, gt_boxes, images[slot]
+                )
             if oh > H or ow > W:
                 raise ValueError(
                     f"image {i} resized to ({oh},{ow}) exceeds bucket {self.bucket_hw}"

@@ -81,6 +81,21 @@ class Preprocessor:
         boxes = self.transform_boxes(boxes, h, w, oh, ow, flip)
         return boxes, (oh, ow)
 
+    def into_buffer_u8(self, image: np.ndarray, boxes, out: np.ndarray):
+        """Resize+flip into a padded uint8 RGB buffer; normalization happens
+        on-device (detector._prep_images). 4x less host->device traffic."""
+        h, w = image.shape[:2]
+        oh, ow, flip = self.plan(h, w)
+        src = image[:, ::-1] if flip else image
+        from ..native import resize_image_u8 as native_resize
+
+        ok = native_resize(src, out, oh, ow)
+        if not ok:
+            pil = Image.fromarray(np.ascontiguousarray(src))
+            out[:oh, :ow] = np.asarray(pil.resize((ow, oh), Image.BILINEAR))
+        boxes = self.transform_boxes(boxes, h, w, oh, ow, flip)
+        return boxes, (oh, ow)
+
     def _apply(self, image, oh, ow):
         h, w = image.shape[:2]
         if (oh, ow) != (h, w):

@@ -155,6 +155,25 @@ class SCANDetector:
             cfg.MODEL.ADV.USE_DIS_CENTER_AWARE or cfg.MODEL.ADV.USE_DIS_OUT
         )
 
+        self.pixel_mean = tuple(cfg.INPUT.PIXEL_MEAN)
+        self.pixel_std = tuple(cfg.INPUT.PIXEL_STD)
+        self.to_bgr255 = cfg.INPUT.TO_BGR255
+
+    def _prep_images(self, images):
+        """On-device normalization for uint8 batches (TPU.DEVICE_NORMALIZE):
+        RGB u8 -> (BGR*255 - mean)/std, fused into the first conv by XLA.
+        Float inputs are assumed already normalized on the host."""
+        if images.dtype != jnp.uint8:
+            return images
+        x = images.astype(jnp.float32)
+        if self.to_bgr255:
+            x = x[..., ::-1]
+        else:
+            x = x / 255.0
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        return (x - mean) / std
+
     # ------------------------------------------------------------------ #
     def init_params(self, rng, sample_images: jnp.ndarray):
         """Initialise the parameter dict and prototype state.
@@ -227,6 +246,7 @@ class SCANDetector:
 
         Returns (losses, features, act_maps, score_maps, new_proto_state).
         """
+        images = self._prep_images(images)
         feats = list(self.backbone.apply(params["backbone"], images))
         losses: Dict[str, jnp.ndarray] = {}
         act_maps = None
@@ -317,6 +337,7 @@ class SCANDetector:
     def forward_inference(self, params, proto_state, images, image_sizes):
         """Eval path (reference trainer.py foward_detector eval branch +
         fcos.py TEST.MODE mixing)."""
+        images = self._prep_images(images)
         feats = list(self.backbone.apply(params["backbone"], images))
         act_maps = None
         if self.condgraph_on:

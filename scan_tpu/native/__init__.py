@@ -55,6 +55,12 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.resize_image_u8.restype = ctypes.c_int
+            lib.resize_image_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
             lib.nms_cpu.restype = ctypes.c_int
             lib.nms_cpu.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -89,6 +95,21 @@ def preprocess_image(src: np.ndarray, out: np.ndarray, oh: int, ow: int,
     rc = lib.preprocess_image(
         src.ctypes.data, ih, iw, out.ctypes.data, dh, dw, oh, ow,
         mean.ctypes.data, std.ctypes.data, int(to_bgr255),
+    )
+    return rc == 0
+
+
+def resize_image_u8(src: np.ndarray, out: np.ndarray, oh: int, ow: int) -> bool:
+    """PIL-equivalent resize into a padded uint8 buffer; False -> fallback."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    src = np.ascontiguousarray(src, np.uint8)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    ih, iw = src.shape[:2]
+    dh, dw = out.shape[:2]
+    rc = lib.resize_image_u8(
+        src.ctypes.data, ih, iw, out.ctypes.data, dh, dw, oh, ow
     )
     return rc == 0
 

@@ -142,6 +142,59 @@ int preprocess_image(const uint8_t* src, int ih, int iw, float* dst, int dh,
   return 0;
 }
 
+// Resize only (PIL-equivalent), emitting uint8 RGB into a zero-padded
+// buffer — for the device-side-normalization input path where the TPU does
+// BGR/mean math and the host ships 4x fewer bytes.
+int resize_image_u8(const uint8_t* src, int ih, int iw, uint8_t* dst, int dh,
+                    int dw, int oh, int ow) {
+  if (oh > dh || ow > dw || ih <= 0 || iw <= 0 || oh <= 0 || ow <= 0)
+    return -1;
+  const FilterTaps fx = compute_taps(iw, ow);
+  const FilterTaps fy = compute_taps(ih, oh);
+  std::vector<double> tmp(static_cast<size_t>(ih) * ow * 3);
+  for (int y = 0; y < ih; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * iw * 3;
+    double* out_row = &tmp[static_cast<size_t>(y) * ow * 3];
+    for (int x = 0; x < ow; ++x) {
+      const int xmin = fx.bounds[x * 2 + 0];
+      const int xsize = fx.bounds[x * 2 + 1];
+      const double* k = &fx.taps[static_cast<size_t>(x) * fx.ksize];
+      double a0 = 0, a1 = 0, a2 = 0;
+      for (int i = 0; i < xsize; ++i) {
+        const uint8_t* px = row + static_cast<size_t>(xmin + i) * 3;
+        a0 += px[0] * k[i];
+        a1 += px[1] * k[i];
+        a2 += px[2] * k[i];
+      }
+      out_row[x * 3 + 0] = a0;
+      out_row[x * 3 + 1] = a1;
+      out_row[x * 3 + 2] = a2;
+    }
+  }
+  for (int y = 0; y < oh; ++y) {
+    const int ymin = fy.bounds[y * 2 + 0];
+    const int ysize = fy.bounds[y * 2 + 1];
+    const double* k = &fy.taps[static_cast<size_t>(y) * fy.ksize];
+    uint8_t* out_row = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < ow; ++x) {
+      double a0 = 0, a1 = 0, a2 = 0;
+      for (int i = 0; i < ysize; ++i) {
+        const double* px = &tmp[(static_cast<size_t>(ymin + i) * ow + x) * 3];
+        a0 += px[0] * k[i];
+        a1 += px[1] * k[i];
+        a2 += px[2] * k[i];
+      }
+      out_row[x * 3 + 0] =
+          static_cast<uint8_t>(std::min(255.0, std::max(0.0, std::round(a0))));
+      out_row[x * 3 + 1] =
+          static_cast<uint8_t>(std::min(255.0, std::max(0.0, std::round(a1))));
+      out_row[x * 3 + 2] =
+          static_cast<uint8_t>(std::min(255.0, std::max(0.0, std::round(a2))));
+    }
+  }
+  return 0;
+}
+
 // Greedy hard NMS with the legacy '+1' IoU convention
 // (reference csrc/cuda/nms.cu:13-21) over score-sorted boxes. Host-side
 // utility for eval tooling / CPU fallbacks.

@@ -93,3 +93,44 @@ def test_loader_native_path_consistency():
     assert (oh, ow) == (oh2, ow2)
     np.testing.assert_allclose(got_boxes, want_boxes)
     assert np.abs(out[:oh, :ow] - want_img).max() <= 1.5
+
+
+def test_device_normalize_parity():
+    """uint8 loader path + on-device normalization must equal the host f32
+    normalized path (to resize rounding)."""
+    import jax.numpy as jnp
+
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.modeling.detector import build_detector
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (1, 32, 48, 3), dtype=np.uint8)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "VGG-16-FPN-RETINANET"
+    cfg.MODEL.RETINANET.USE_C5 = False
+    cfg.MODEL.DA_ON = False
+    det = build_detector(cfg)
+
+    got = np.asarray(det._prep_images(jnp.asarray(img)))
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+    want = img[..., ::-1].astype(np.float32) - mean
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # float input passes through untouched
+    f = jnp.asarray(want)
+    np.testing.assert_allclose(np.asarray(det._prep_images(f)), want)
+
+
+def test_native_resize_u8_matches_pil(lib):
+    from PIL import Image
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 255, (40, 56, 3), dtype=np.uint8)
+    out = np.zeros((32, 64, 3), np.uint8)
+    ok = native.resize_image_u8(img, out, 24, 36)
+    assert ok
+    want = np.asarray(Image.fromarray(img).resize((36, 24), Image.BILINEAR))
+    diff = np.abs(out[:24, :36].astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert np.all(out[24:] == 0)
