@@ -89,6 +89,7 @@ class SCANDetector:
             # here (the greedy scan is scalar-sequential either way and
             # Mosaic's per-iteration overhead dominates); keep Pallas opt-in.
             use_pallas_nms=cfg.TPU.get("USE_PALLAS_NMS", False),
+            nms_cap=cfg.TPU.get("NMS_CAP", 512),
         )
 
         # ---------------- discriminators ----------------
