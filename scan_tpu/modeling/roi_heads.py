@@ -276,3 +276,64 @@ def roi_mask_loss(mask_logits, matched_labels, mask_targets, pos_mask):
     bce = jnp.maximum(sel, 0) - sel * t + jnp.log1p(jnp.exp(-jnp.abs(sel)))
     m = pos_mask.astype(jnp.float32)[:, None, None]
     return jnp.sum(bce * m) / jnp.maximum(jnp.sum(m) * s * s, 1.0)
+
+
+# ---------------------------------------------------------------------- #
+# keypoint head (Keypoint R-CNN branch)
+# ---------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class RoIKeypointConfig:
+    """Reference ``modeling/roi_heads/keypoint_head/*``:
+    KeypointRCNNFeatureExtractor (8x [conv3x3 512 + relu]) + deconv and 2x
+    bilinear upscale to per-keypoint heatmaps; CE over the heatmap argmax
+    cell of each visible keypoint."""
+
+    num_keypoints: int = 17
+    pooler_resolution: int = 14
+    pooler_scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
+    sampling_ratio: int = 2
+    conv_layers: tuple = tuple(512 for _ in range(8))
+
+    @staticmethod
+    def from_cfg(cfg):
+        k = cfg.MODEL.ROI_KEYPOINT_HEAD
+        return RoIKeypointConfig(
+            num_keypoints=k.NUM_CLASSES,
+            pooler_resolution=k.POOLER_RESOLUTION,
+            pooler_scales=tuple(k.POOLER_SCALES),
+            sampling_ratio=k.POOLER_SAMPLING_RATIO or 2,
+            conv_layers=tuple(k.CONV_LAYERS),
+        )
+
+
+class RoIKeypointHead(nn.Module):
+    cfg: RoIKeypointConfig
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, pooled):
+        x = pooled
+        for i, ch in enumerate(self.cfg.conv_layers):
+            x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"conv_fcn{i + 1}")(x)
+            x = nn.relu(x)
+        # deconv 2x then bilinear 2x -> 4x heatmap resolution
+        x = nn.ConvTranspose(self.cfg.num_keypoints, (4, 4), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             name="kps_score_lowres")(x)
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        return x.astype(jnp.float32)
+
+
+def roi_keypoint_loss(heatmaps, kp_targets, kp_valid):
+    """CE over heatmap cells: kp_targets (N, K) flat cell index of each
+    keypoint, kp_valid (N, K) visibility (keypoint_head/loss.py)."""
+    n, h, w, k = heatmaps.shape
+    logits = heatmaps.reshape(n, h * w, k).transpose(0, 2, 1)  # (N, K, HW)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.maximum(kp_targets, 0)[..., None], axis=2
+    )[..., 0]
+    m = kp_valid.astype(jnp.float32)
+    return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
