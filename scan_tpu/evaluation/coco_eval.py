@@ -106,11 +106,14 @@ def _evaluate_img(dets, det_scores, gts, gt_ignore, iscrowd, area_rng):
 
     # detection ignore flags
     d_ignore = np.zeros((t_n, nd), bool)
+    out_of_range = (d_areas < lo) | (d_areas > hi)
     for ti in range(t_n):
         matched = dt_m[ti] >= 0
+        if ng == 0:
+            d_ignore[ti] = out_of_range
+            continue
         d_ignore[ti] = np.where(
-            matched, g_ignore_s[np.maximum(dt_m[ti], 0)],
-            (d_areas < lo) | (d_areas > hi),
+            matched, g_ignore_s[np.maximum(dt_m[ti], 0)], out_of_range
         )
     npig = int(np.sum(~g_ignore_s))
     return {

@@ -104,3 +104,13 @@ def test_score_ordering_matters():
     res = evaluate_detections(gt, preds, [1])
     # the 0.9 det matches first (both overlap), 0.6 is fp; recall still 1
     assert 0.9 < res["AP50"] <= 1.0
+
+
+def test_detections_for_class_with_no_gt_are_fps():
+    # a class that appears only in predictions: contributes fps to that
+    # category's stream without crashing (no GT -> npig 0 -> skipped)
+    gt = {1: [_gt([10, 10, 50, 60], cat=1)]}
+    preds = {1: _pred([[10, 10, 50, 60], [200, 200, 20, 20]], [0.9, 0.8], [1, 2])}
+    res = evaluate_detections(gt, preds, [1, 2])
+    assert abs(res["AP50"] - 1.0) < 1e-6 or res["AP50"] == 1.0
+    assert res["per_category"][2] == -1.0
