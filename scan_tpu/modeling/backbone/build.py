@@ -118,6 +118,30 @@ def build_mnv2_fpn_backbone(cfg, dtype=None):
     )
 
 
+@BACKBONES.register("FBNet")
+@BACKBONES.register("FBNET")
+def build_fbnet_fpn_backbone(cfg, dtype=None):
+    from .fbnet import FBNetTrunk
+
+    return _BackboneWithFPN(
+        body_cls=FBNetTrunk,
+        body_kwargs=dict(
+            arch=cfg.MODEL.FBNET.ARCH or "default",
+            scale_factor=cfg.MODEL.FBNET.SCALE_FACTOR,
+            width_divisor=cfg.MODEL.FBNET.WIDTH_DIVISOR,
+        ),
+        fpn_kwargs=dict(
+            in_features=(1, 2, 3),
+            out_channels=256,
+            top_block="p6p7",
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+            use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,
+        ),
+        dtype=dtype,
+    )
+
+
 def build_backbone(cfg, dtype=None):
     body = cfg.MODEL.BACKBONE.CONV_BODY
     if body not in BACKBONES:

@@ -127,3 +127,23 @@ def test_roi_align_known_values():
     np.testing.assert_allclose(
         np.asarray(out[0, 0, :, 0]), [3.0, 5.0, 7.0, 9.0], atol=1e-5
     )
+
+
+def test_fbnet_trunk_and_builder():
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.modeling.backbone.build import build_backbone
+    from scan_tpu.modeling.backbone.fbnet import FBNetTrunk
+
+    m = FBNetTrunk(arch="default")
+    x = jnp.zeros((1, 64, 96, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x)
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert outs[-1].shape[-1] == 240
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.RETINANET.USE_C5 = False
+    model = build_backbone(cfg)
+    feats = model.apply(model.init(jax.random.PRNGKey(0), x), x)
+    assert len(feats) == 5 and feats[0].shape == (1, 8, 12, 256)
