@@ -33,7 +33,7 @@ def main():
         )
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     h, w = 800, 1344  # 800x1333 padded to /32
 
     det = build_detector(cfg)
