@@ -271,25 +271,28 @@ class CondGraph(nn.Module):
             return self.cond_2(hidden)
         return self.cond_2(nn.relu(self.cond_1(prototype)))
 
-    def _edge(self, nodes, valid):
+    def _edge(self, nodes, pair_mask):
+        """Adjacency over nodes restricted to pair_mask (i attends to j only
+        where pair_mask[i, j]); dispatch per GCN_EDGE_NORM
+        (reference get_edge, condgraph.py:284-302)."""
         c = self.cfg
         neg = -1e30
         if c.gcn_edge_norm == "cosine_detached":
             sim = sim_matrix(nodes, nodes)
-            sim = jnp.where(valid[None, :], sim, neg)
+            sim = jnp.where(pair_mask, sim, neg)
             return jax.lax.stop_gradient(jax.nn.softmax(sim, axis=-1))
         if c.gcn_edge_norm == "NO":
             sim = nodes @ nodes.T
-            sim = jnp.where(valid[None, :], sim, neg)
+            sim = jnp.where(pair_mask, sim, neg)
             return jax.lax.stop_gradient(jax.nn.softmax(sim, axis=-1))
         if c.gcn_edge_norm == "softmax":
             sim = self.edge_project_u(nodes) @ self.edge_project_v(nodes).T
-            sim = jnp.where(valid[None, :], sim, neg)
+            sim = jnp.where(pair_mask, sim, neg)
             return jax.nn.softmax(sim, axis=-1)
         if c.gcn_edge_norm == "cosine":
             proj = nn.relu(self.edge_project_v(nodes))
             sim = sim_matrix(proj, proj)
-            sim = jnp.where(valid[None, :] & valid[:, None], sim, 0.0)
+            sim = jnp.where(pair_mask, sim, 0.0)
             norm = jnp.sum(sim, axis=-1, keepdims=True)
             return sim / jnp.maximum(norm, EPS)
         raise KeyError(c.gcn_edge_norm)
@@ -328,18 +331,11 @@ class CondGraph(nn.Module):
             nodes_out = out
         else:
             # per-class GCN == one GCN over a block-diagonal (same-class)
-            # adjacency: mask edges across classes before row-normalising.
+            # adjacency: mask edges across classes before row-normalising,
+            # with the edge type dispatched per GCN_EDGE_NORM.
             same_class = node_labels[:, None] == node_labels[None, :]
             valid_pair = node_valid[:, None] & node_valid[None, :] & same_class
-            # _edge handles row softmax; refine its column mask to the class
-            # block by re-masking then re-normalising.
-            sim = sim_matrix(nodes, nodes)
-            neg = -1e30
-            sim = jnp.where(valid_pair, sim, neg)
-            if c.gcn_edge_norm in ("cosine_detached", "NO"):
-                adj = jax.lax.stop_gradient(jax.nn.softmax(sim, axis=-1))
-            else:
-                adj = jax.nn.softmax(sim, axis=-1)
+            adj = self._edge(nodes, valid_pair)
             nodes_out = self._gcn_local(nodes, adj)
             nodes_out = jnp.where(node_valid[:, None], nodes_out, nodes)
 

@@ -120,3 +120,61 @@ def test_act_maps_are_softmax_probabilities(cg):
         np.testing.assert_allclose(s, 1.0, atol=1e-4)
     for f in out_feats:
         assert f.shape[-1] == 256  # head_out projected back
+
+
+@pytest.mark.parametrize("edge_norm", ["cosine_detached", "NO", "softmax", "cosine"])
+def test_local_gcn_edge_variants(edge_norm):
+    cfg = CondGraphConfig(
+        num_classes=4, proto_iter=1, use_rnn=False, global_gcn=False,
+        gcn_edge_norm=edge_norm, max_nodes=12, transfer_cfg=(None,),
+    )
+    module = CondGraph(cfg)
+    rng = np.random.RandomState(5)
+    nodes = jnp.asarray(rng.randn(12, 256), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3] * 3)
+    valid = jnp.asarray([True] * 8 + [False] * 4)
+    feats = [jnp.zeros((1, 4, 4, 256)) for _ in range(5)]
+    state = ProtoState(jnp.ones((4, 256)), jnp.asarray(-1))
+    targets = {
+        "boxes": jnp.asarray([[[2.0, 2, 20, 20]]]),
+        "labels": jnp.asarray([[1]]),
+        "mask": jnp.asarray([[True]]),
+    }
+    params = module.init(jax.random.PRNGKey(1), feats, state, "source", targets)
+    node_loss, pb = module.apply(
+        params, nodes, labels, valid, method=module.forward_gcns
+    )
+    assert np.isfinite(float(node_loss))
+    assert np.all(np.isfinite(np.asarray(pb)))
+
+
+def test_local_gcn_class_isolation():
+    """With a block-diagonal adjacency, perturbing a node of class A must
+    not change outputs of class-B nodes (cosine_detached edges)."""
+    cfg = CondGraphConfig(
+        num_classes=3, proto_iter=1, use_rnn=False, global_gcn=False,
+        gcn_edge_norm="cosine_detached", max_nodes=8, transfer_cfg=(None,),
+    )
+    module = CondGraph(cfg)
+    rng = np.random.RandomState(6)
+    nodes = jnp.asarray(rng.randn(8, 256), jnp.float32)
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2, 0, 1])
+    valid = jnp.ones((8,), bool)
+    feats = [jnp.zeros((1, 4, 4, 256)) for _ in range(5)]
+    state = ProtoState(jnp.ones((3, 256)), jnp.asarray(-1))
+    targets = {
+        "boxes": jnp.asarray([[[2.0, 2, 20, 20]]]),
+        "labels": jnp.asarray([[1]]),
+        "mask": jnp.asarray([[True]]),
+    }
+    params = module.init(jax.random.PRNGKey(2), feats, state, "source", targets)
+    _, pb1 = module.apply(params, nodes, labels, valid,
+                          method=module.forward_gcns)
+    nodes2 = nodes.at[0].set(nodes[0] + 10.0)  # class 0 node
+    _, pb2 = module.apply(params, nodes2, labels, valid,
+                          method=module.forward_gcns)
+    # class 1 and 2 prototypes unchanged
+    np.testing.assert_allclose(np.asarray(pb1[1]), np.asarray(pb2[1]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pb1[2]), np.asarray(pb2[2]), atol=1e-4)
+    # class 0 prototype changed
+    assert np.abs(np.asarray(pb1[0]) - np.asarray(pb2[0])).max() > 1e-3
