@@ -29,9 +29,10 @@ def compute_predictions(detector, params, proto_state, data_loader,
     predictions: Dict[int, dict] = {}
     t0 = time.time()
     n_img = 0
-    for bi, batch in enumerate(data_loader):
-        out = fwd(params, proto_state, batch["images"], batch["sizes"])
-        out = jax.device_get(out)
+
+    def collect(out_dev, batch):
+        nonlocal n_img
+        out = jax.device_get(out_dev)
         for slot in range(batch["images"].shape[0]):
             index = int(batch["indices"][slot])
             if index < 0:
@@ -44,9 +45,20 @@ def compute_predictions(detector, params, proto_state, data_loader,
             boxes = boxes * np.asarray([sw, sh, sw, sh], np.float32)
             predictions[index] = dict(boxes=boxes, scores=scores, labels=labels)
             n_img += 1
+
+    # software pipeline: dispatch batch i+1 before fetching batch i so the
+    # host-side decode/collect overlaps device execution
+    pending = None
+    for bi, batch in enumerate(data_loader):
+        out_dev = fwd(params, proto_state, batch["images"], batch["sizes"])
+        if pending is not None:
+            collect(*pending)
+        pending = (out_dev, batch)
         if progress_every and (bi + 1) % progress_every == 0:
-            rate = n_img / (time.time() - t0)
+            rate = max(n_img, 1) / (time.time() - t0)
             logger.info("eval batch %d (%.1f img/s)", bi + 1, rate)
+    if pending is not None:
+        collect(*pending)
     dt = time.time() - t0
     if n_img:
         logger.info("inference done: %d images in %.1fs (%.2f img/s)",

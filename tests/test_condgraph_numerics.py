@@ -178,3 +178,50 @@ def test_local_gcn_class_isolation():
     np.testing.assert_allclose(np.asarray(pb1[2]), np.asarray(pb2[2]), atol=1e-4)
     # class 0 prototype changed
     assert np.abs(np.asarray(pb1[0]) - np.asarray(pb2[0])).max() > 1e-3
+
+
+def test_transfer_prototype_and_adj_complete():
+    cfg = CondGraphConfig(
+        num_classes=4, proto_iter=1, use_rnn=False, global_gcn=True,
+        max_nodes=8, transfer_cfg=("PROTOTYPE", "ADJ_COMPLETE"),
+    )
+    module = CondGraph(cfg)
+    feats = [jnp.zeros((1, 4, 4, 256)) for _ in range(5)]
+    state = ProtoState(jnp.ones((4, 256)), jnp.asarray(-1))
+    targets = {
+        "boxes": jnp.asarray([[[2.0, 2, 20, 20]]]),
+        "labels": jnp.asarray([[1]]),
+        "mask": jnp.asarray([[True]]),
+    }
+    params = module.init(jax.random.PRNGKey(3), feats, state, "source", targets)
+
+    rng = np.random.RandomState(7)
+    sr = rng.randn(4, 256).astype(np.float32)
+    tg = rng.randn(4, 256).astype(np.float32)
+    tg[2] = 0  # absent class -> ADJ_COMPLETE substitutes the source row
+    loss = module.apply(
+        params, jnp.asarray(sr), jnp.asarray(tg),
+        jnp.asarray(rng.randn(8, 256).astype(np.float32)),
+        jnp.asarray(np.zeros(8, np.int32)), jnp.ones(8, bool),
+        method=module.get_transfer_loss,
+    )
+    got = float(loss)
+    assert np.isfinite(got) and got >= 0
+
+    # PROTOTYPE oracle on existing rows
+    exist = np.abs(tg).sum(1) != 0
+    t = _softmax(sr)
+    q = _softmax(tg)
+    kl = t * (np.log(np.maximum(t, 1e-12)) - np.log(np.maximum(q, 1e-12)))
+    proto_term = kl[exist].sum() / (exist.sum() * 256)
+
+    # ADJ_COMPLETE oracle: absent rows replaced by source prototypes
+    tg_c = tg.copy()
+    tg_c[~exist] = sr[~exist]
+    def simm(x):
+        n = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
+        return n @ n.T
+    a = simm(sr).reshape(-1)
+    b = simm(tg_c).reshape(-1)
+    adj_term = 1 - a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    np.testing.assert_allclose(got, proto_term + adj_term, rtol=1e-3, atol=1e-5)
