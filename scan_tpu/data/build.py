@@ -46,29 +46,42 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def compute_bucket_hw(dataset, cfg, is_train: bool):
-    """Max (H, W) over the dataset's resize envelope, rounded to /32."""
-    div = max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32)
+def _resize_envelope(cfg, is_train: bool):
     if is_train:
         if cfg.INPUT.MIN_SIZE_RANGE_TRAIN[0] == -1:
             sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
         else:
             sizes = [cfg.INPUT.MIN_SIZE_RANGE_TRAIN[1]]
-        max_size = cfg.INPUT.MAX_SIZE_TRAIN
-    else:
-        sizes = [cfg.INPUT.MIN_SIZE_TEST]
-        max_size = cfg.INPUT.MAX_SIZE_TEST
+        return sizes, cfg.INPUT.MAX_SIZE_TRAIN
+    return [cfg.INPUT.MIN_SIZE_TEST], cfg.INPUT.MAX_SIZE_TEST
+
+
+def compute_bucket_hw(dataset, cfg, is_train: bool, indices=None):
+    """Max (H, W) over the dataset's resize envelope, rounded to /32."""
+    div = max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32)
+    sizes, max_size = _resize_envelope(cfg, is_train)
     best_h = best_w = 0
-    n = len(dataset)
+    pool = indices if indices is not None else range(len(dataset))
+    pool = list(pool)
     # sample aspect ratios (cheap: img info only)
-    step = max(1, n // 256)
-    for i in range(0, n, step):
+    step = max(1, len(pool) // 256)
+    for i in pool[::step]:
         info = dataset.get_img_info(i)
         for s in sizes:
             oh, ow = get_resize_hw(info["width"], info["height"], s, max_size)
             best_h = max(best_h, oh)
             best_w = max(best_w, ow)
     return _round_up(best_h, div), _round_up(best_w, div)
+
+
+def aspect_ratio_groups(dataset):
+    """Indices split by orientation (reference GroupedBatchSampler groups on
+    aspect ratio >= 1, data/build.py:85-104): landscape vs portrait."""
+    landscape, portrait = [], []
+    for i in range(len(dataset)):
+        info = dataset.get_img_info(i)
+        (landscape if info["width"] >= info["height"] else portrait).append(i)
+    return [g for g in (landscape, portrait) if g]
 
 
 class DetectionLoader:
@@ -90,7 +103,22 @@ class DetectionLoader:
         self.seed = seed
         self.max_boxes = cfg.TPU.MAX_BOXES
         self.pre = build_preprocessor(cfg, is_train, seed=seed)
-        self.bucket_hw = bucket_hw or compute_bucket_hw(dataset, cfg, is_train)
+        # aspect-ratio grouping (reference GroupedBatchSampler): one static
+        # bucket per orientation so portrait images don't pad to landscape
+        if bucket_hw is not None:
+            self.groups = [list(range(len(dataset)))]
+            self.buckets = [bucket_hw]
+        elif cfg.DATALOADER.ASPECT_RATIO_GROUPING:
+            self.groups = aspect_ratio_groups(dataset)
+            self.buckets = [
+                compute_bucket_hw(dataset, cfg, is_train, indices=g)
+                for g in self.groups
+            ]
+        else:
+            self.groups = [list(range(len(dataset)))]
+            self.buckets = [compute_bucket_hw(dataset, cfg, is_train)]
+        # the largest bucket, for callers sizing init samples
+        self.bucket_hw = max(self.buckets)
         self.num_threads = num_threads or cfg.TPU.LOADER_THREADS
         self.device_normalize = bool(cfg.TPU.get("DEVICE_NORMALIZE", False))
 
@@ -99,24 +127,42 @@ class DetectionLoader:
             return self.max_iters or 0
         return math.ceil(len(self.dataset) / self.batch_size)
 
-    def _index_stream(self) -> Iterator[List[int]]:
-        n = len(self.dataset)
+    def _index_stream(self) -> Iterator[tuple]:
+        """Yields (group_id, indices) with batches drawn within one
+        orientation group (reference grouped_batch_sampler semantics)."""
         if self.is_train:
             rng = np.random.RandomState(self.seed)
             it = 0
             while self.max_iters is None or it < self.max_iters:
-                order = rng.permutation(n)
-                for start in range(0, n - self.batch_size + 1, self.batch_size):
+                epoch_batches = []
+                for gi, group in enumerate(self.groups):
+                    order = rng.permutation(len(group))
+                    for start in range(
+                        0, len(group) - self.batch_size + 1, self.batch_size
+                    ):
+                        epoch_batches.append(
+                            (gi, [group[j] for j in order[start : start + self.batch_size]])
+                        )
+                if not epoch_batches:
+                    # dataset smaller than a batch: wrap around
+                    gi = 0
+                    group = self.groups[0]
+                    idx = [group[j % len(group)] for j in range(self.batch_size)]
+                    epoch_batches.append((gi, idx))
+                rng.shuffle(epoch_batches)
+                for b in epoch_batches:
                     if self.max_iters is not None and it >= self.max_iters:
                         return
-                    yield list(order[start : start + self.batch_size])
+                    yield b
                     it += 1
         else:
-            for start in range(0, n, self.batch_size):
-                yield list(range(start, min(start + self.batch_size, n)))
+            for gi, group in enumerate(self.groups):
+                for start in range(0, len(group), self.batch_size):
+                    yield gi, group[start : start + self.batch_size]
 
-    def _make_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
-        H, W = self.bucket_hw
+    def _make_batch(self, group_and_indices) -> Dict[str, np.ndarray]:
+        group_id, indices = group_and_indices
+        H, W = self.buckets[group_id]
         bs = self.batch_size
         img_dtype = np.uint8 if self.device_normalize else np.float32
         images = np.zeros((bs, H, W, 3), img_dtype)
@@ -141,7 +187,7 @@ class DetectionLoader:
                 )
             if oh > H or ow > W:
                 raise ValueError(
-                    f"image {i} resized to ({oh},{ow}) exceeds bucket {self.bucket_hw}"
+                    f"image {i} resized to ({oh},{ow}) exceeds bucket {(H, W)}"
                 )
             sizes[slot] = (oh, ow)
             n = min(len(gt_labels), self.max_boxes)
@@ -164,10 +210,10 @@ class DetectionLoader:
         stop = threading.Event()
 
         def producer():
-            for seq, indices in enumerate(self._index_stream()):
+            for seq, gi in enumerate(self._index_stream()):
                 if stop.is_set():
                     return
-                work_q.put((seq, indices))
+                work_q.put((seq, gi))
             work_q.put(None)
 
         def worker():
@@ -176,8 +222,8 @@ class DetectionLoader:
                 if item is None:
                     work_q.put(None)  # propagate sentinel
                     return
-                seq, indices = item
-                batch = self._make_batch(indices)
+                seq, gi = item
+                batch = self._make_batch(gi)
                 with out_lock:
                     out[seq] = batch
                     out_lock.notify_all()

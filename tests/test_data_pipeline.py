@@ -149,3 +149,53 @@ def test_preprocessor_bgr255_and_flip():
     boxes = np.asarray([[0.0, 0, 2, 3]], np.float32)
     _, fboxes, _ = pre_flip(img, boxes.copy())
     np.testing.assert_allclose(fboxes[0], [6 - 2 - 1, 0, 6 - 0 - 1, 3])
+
+
+def test_aspect_ratio_grouping(tmp_path):
+    """Mixed-orientation dataset: eval batches come in per-orientation
+    buckets and cover every image exactly once."""
+    import json as _json
+
+    root = tmp_path / "mixed"
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    sizes = [(80, 120), (120, 80), (80, 124), (124, 80)]  # 2 landscape, 2 portrait
+    for i, (h, w) in enumerate(sizes, start=1):
+        Image.fromarray(
+            rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        ).save(img_dir / f"i{i}.png")
+        images.append(dict(id=i, file_name=f"i{i}.png", height=h, width=w))
+        annotations.append(
+            dict(id=i, image_id=i, category_id=1, bbox=[5, 5, 30, 30],
+                 area=900, iscrowd=0)
+        )
+    ann = root / "ann.json"
+    with open(ann, "w") as f:
+        _json.dump(
+            dict(images=images, annotations=annotations,
+                 categories=[dict(id=1, name="x")]), f,
+        )
+    ds = COCODataset(str(ann), str(img_dir), remove_images_without_annotations=False)
+    cfg = _small_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    loader = DetectionLoader(ds, cfg, is_train=False, batch_size=2)
+    assert len(loader.buckets) == 2
+    batches = list(loader)
+    shapes = {b["images"].shape[1:3] for b in batches}
+    assert len(shapes) == 2  # one bucket per orientation
+    seen = sorted(
+        int(i) for b in batches for i in b["indices"] if int(i) >= 0
+    )
+    assert seen == [0, 1, 2, 3]
+
+    # training stream yields full batches from single groups
+    tl = DetectionLoader(ds, cfg, is_train=True, batch_size=2, max_iters=6)
+    for b in tl:
+        hs = set()
+        for s in range(2):
+            oh, ow = b["sizes"][s]
+            hs.add(oh > ow)
+        assert len(hs) == 1  # no mixed orientation inside a batch
