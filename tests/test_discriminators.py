@@ -111,3 +111,45 @@ def test_con_single_class_uses_plain_bce(feat):
     params = m.init(jax.random.PRNGKey(0), feat, 1.0, act)
     loss = float(m.apply(params, feat, 1.0, act, "source"))
     assert abs(loss - np.log(2)) < 0.3
+
+
+@pytest.mark.slow
+def test_epm_ga_ca_config_da_step():
+    """EPM GA+CA config (da_ga_ca_cityscapes_VGG_16_FPN_4x.yaml): full DA
+    step with global + center-aware discriminators on both domains."""
+    import os
+
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.engine.train_step import make_da_train_step
+    from scan_tpu.modeling.detector import build_detector
+    from scan_tpu.solver.build import make_optimizer
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "epm",
+                     "da_ga_ca_cityscapes_VGG_16_FPN_4x.yaml")
+    )
+    cfg.TPU.MAX_BOXES = 8
+    det = build_detector(cfg)
+    assert any(k.endswith("_CA") for k in det.dis_modules)
+    assert any(not k.endswith("_CA") for k in det.dis_modules)
+
+    rng = np.random.RandomState(0)
+    b, h, w, g = 1, 64, 96, 8
+    batch_s = dict(
+        images=jnp.asarray(rng.randn(b, h, w, 3), jnp.float32),
+        sizes=jnp.asarray([[h, w]], jnp.int32),
+        boxes=jnp.zeros((b, g, 4)).at[0, 0].set(jnp.asarray([8.0, 8, 60, 56])),
+        labels=jnp.zeros((b, g), jnp.int32).at[0, 0].set(1),
+        mask=jnp.zeros((b, g), bool).at[0, 0].set(True),
+    )
+    batch_t = dict(images=jnp.asarray(rng.randn(b, h, w, 3), jnp.float32))
+    params, proto = det.init_params(jax.random.PRNGKey(0), batch_s["images"])
+    opt = make_optimizer(cfg, params)
+    step = make_da_train_step(det, opt)
+    _, _, _, metrics = step(params, opt.init(params), proto, batch_s, batch_t,
+                            forward_target=False)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert "loss_adv_P3_GA_ds" in metrics
+    assert "loss_adv_P3_CA_dt" in metrics
