@@ -217,7 +217,10 @@ def convert_middle_head(state_dict: Dict, cg_cfg) -> Dict:
             "kernel": lin_w(sd["cond_1.weight"]),
             "bias": _t(sd["cond_1.bias"]),
         }
-    if "cond_2.weight" in sd:
+    # cond_2 exists in every reference checkpoint but is DEAD in the RNN
+    # path (get_conded_weight never calls it, condgraph.py:313-319), so our
+    # RNN-mode param tree doesn't materialise it — skip it there.
+    if "cond_2.weight" in sd and not cg_cfg.use_rnn:
         params["cond_2"] = {
             "kernel": lin_w(sd["cond_2.weight"]),
             "bias": _t(sd["cond_2.bias"]),
