@@ -19,6 +19,6 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the heavy DA-step/backbone graphs compile once
 # and re-load on subsequent test runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
