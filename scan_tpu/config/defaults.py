@@ -458,6 +458,8 @@ _C.TPU.NMS_CAP = 512
 # Ship uint8 images to the device and normalize inside the jitted step
 # (4x less host->device traffic); the f32 host-normalized path otherwise.
 _C.TPU.DEVICE_NORMALIZE = True
+# Trap NaNs in every jitted op (reference's test_nan asserts, debug only).
+_C.TPU.DEBUG_NANS = False
 
 
 def get_default_cfg():

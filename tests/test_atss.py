@@ -159,3 +159,40 @@ def test_adapt_atss_topk_table_and_assignment():
         jnp.asarray([True]),
     )
     assert np.asarray(labels).max() == 3
+
+
+def test_atss_postprocess_recovers_planted_box():
+    import dataclasses
+
+    from scan_tpu.modeling.atss.atss import atss_encode, atss_postprocess
+    from scan_tpu.modeling.fcos.postprocess import PostProcessConfig
+
+    cfg = ATSSConfig(num_classes=3)
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+    anchors = grid_anchors(
+        shapes, cfg.strides,
+        atss_level_sizes(cfg.anchor_sizes, cfg.octave, cfg.scales_per_octave),
+        cfg.aspect_ratios,
+    )
+    box_cls = [jnp.full((1, h, w, 2), -8.0) for h, w in shapes]
+    box_reg = [jnp.zeros((1, h, w, 4)) for h, w in shapes]
+    ctr = [jnp.full((1, h, w, 1), 4.0) for h, w in shapes]
+
+    # plant at level 0, anchor (y=2, x=3), class idx 1 (label 2) with a
+    # known target box encoded through the coder
+    target = jnp.asarray([[10.0, 8.0, 70.0, 60.0]])
+    a_idx = 2 * 20 + 3
+    enc = atss_encode(cfg, target, anchors[0][a_idx : a_idx + 1])[0]
+    box_cls[0] = box_cls[0].at[0, 2, 3, 1].set(6.0)
+    box_reg[0] = box_reg[0].at[0, 2, 3].set(enc)
+
+    pp = PostProcessConfig(num_classes=3, nms_cap=256)
+    out = atss_postprocess(
+        cfg, pp, anchors, box_cls, box_reg, ctr,
+        jnp.asarray([[128, 160]], jnp.int32),
+    )
+    assert bool(out["valid"][0, 0])
+    assert int(out["labels"][0, 0]) == 2
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"][0, 0]), np.asarray(target[0]), atol=0.1
+    )

@@ -34,6 +34,11 @@ def main():
     cfg.MODEL.DA_ON = False
     cfg.freeze()
 
+    if cfg.TPU.get("DEBUG_NANS", False):
+        # reference parity: test_nan asserts on GCN adjacency/losses
+        # (condgraph.py:676-678); here XLA checks every op's output.
+        jax.config.update("jax_debug_nans", True)
+
     logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
     detector = build_detector(cfg)
     loader = make_data_loader_train(cfg)

@@ -48,6 +48,11 @@ def main():
         cfg.merge_from_list(args.opts)
     cfg.freeze()
 
+    if cfg.TPU.get("DEBUG_NANS", False):
+        # reference parity: test_nan asserts on GCN adjacency/losses
+        # (condgraph.py:676-678); here XLA checks every op's output.
+        jax.config.update("jax_debug_nans", True)
+
     logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
     logger.info("devices: %s", jax.devices())
     logger.info("config:\n%s", args.config_file)
