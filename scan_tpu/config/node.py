@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import ast
 import copy
-import io
 from typing import Any
 
 import yaml

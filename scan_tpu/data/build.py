@@ -14,14 +14,14 @@ handful. Loading runs in background threads with a bounded prefetch queue.
 import math
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
 from ..config.paths_catalog import DatasetCatalog
 from .datasets.coco import COCODataset
 from .datasets.voc_xml import KittiDataset, PascalVOCDataset, Sim10kDataset
-from .transforms import Preprocessor, build_preprocessor, get_resize_hw
+from .transforms import build_preprocessor, get_resize_hw
 
 FACTORIES = {
     "COCODataset": COCODataset,

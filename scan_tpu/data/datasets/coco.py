@@ -16,7 +16,7 @@ annotations, category ids). Semantics matched:
 
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

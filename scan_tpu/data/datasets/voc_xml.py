@@ -7,7 +7,7 @@ class maps for the DA benchmarks.
 
 import os
 import xml.etree.ElementTree as ET
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

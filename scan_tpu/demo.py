@@ -8,14 +8,14 @@ Parity targets:
     ``detect(image)`` returning plain dicts.
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import get_default_cfg
-from .data.transforms import Preprocessor, get_resize_hw
+from .data.transforms import Preprocessor
 from .modeling.detector import build_detector
 from .utils.checkpoint import Checkpointer
 

@@ -1,6 +1,5 @@
 """Data-parallel (multi-chip) train step via shard_map over a 1-D mesh."""
 
-from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P

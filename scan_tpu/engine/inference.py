@@ -8,7 +8,7 @@ image coordinates on the host, and scored by the self-contained evaluator.
 
 import logging
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

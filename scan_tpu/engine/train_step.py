@@ -21,8 +21,7 @@ Data parallelism: the step is written with optional ``axis_name``; under
 (reference README.md:79).
 """
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ voc_eval.py:12-216`` — per-class AP with difficult-GT exclusion, greedy
 max-IoU matching at 0.5, and the VOC07 11-point interpolated AP.
 """
 
-from collections import defaultdict
 from typing import Dict
 
 import numpy as np

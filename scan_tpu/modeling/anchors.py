@@ -7,7 +7,7 @@ variant expands sizes by octave scales (anchor_generator.py:168-188).
 """
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ uses the reference's Bessel (n-1) correction.
 
 import dataclasses
 import math
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ Each builder returns a flax Module mapping (B, H, W, 3) -> tuple of NHWC
 pyramid levels (P3..P7 for the *-FPN-RETINANET bodies).
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from flax import linen as nn
 

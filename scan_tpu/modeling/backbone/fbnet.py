@@ -13,14 +13,11 @@ with explicit expansions, skip) and the 'default' + 'mnv2' arch tables;
 further archs are plain data to add.
 """
 
-import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .mobilenet import InvertedResidual
 
 # arch tables: stem [c, s], stages: list of list of (op, t, c, n, s)
 FBNET_ARCHS = {

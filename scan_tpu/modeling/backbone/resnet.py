@@ -6,7 +6,7 @@ blocks with FrozenBN, ``STRIDE_IN_1X1`` (stride on the 1x1 conv, caffe
 convention), stage freezing at FREEZE_CONV_BODY_AT.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ The caffe-pretrained torch weights (vgg16_caffe-292e1171.pth) are converted
 by ``scan_tpu/utils/torch_weights.py``; input convention stays BGR*255.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

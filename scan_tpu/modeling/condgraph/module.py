@@ -27,7 +27,7 @@ TPU-native design notes:
 """
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,7 @@ clustering over a capped candidate set (see ``density_cluster_drop_first``)
 — the host round-trip that dominated the reference's target pass is gone.
 """
 
-from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ reproduces the per-module LR schedule.
 """
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ from ..config.node import ConfigNode
 from ..ops.locations import compute_locations
 from .backbone.build import build_backbone
 from .condgraph.module import CondGraph, CondGraphConfig
-from .condgraph.prototype import ProtoState, init_proto_state
+from .condgraph.prototype import init_proto_state
 from .discriminator.discriminators import (
     FCOSDiscriminator,
     FCOSDiscriminatorCA,

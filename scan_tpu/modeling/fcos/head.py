@@ -9,7 +9,7 @@ when REG_CTR_ON.
 """
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

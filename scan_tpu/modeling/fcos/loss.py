@@ -11,9 +11,8 @@ here everything stays fixed-shape: positives are a boolean mask over the
 concatenated (B*L,) location axis and reductions are mask-weighted.
 """
 
-from typing import List, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 
 from ...ops.focal_loss import sigmoid_focal_loss

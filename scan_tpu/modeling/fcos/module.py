@@ -9,7 +9,7 @@ including the three TEST.MODEs (fcos.py:162-169):
 Act maps are NHWC here: channel 0 is background when PROTO_WITH_BG.
 """
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,13 +16,11 @@ probabilities (reference inference.py:68).
 
 import dataclasses
 from functools import partial
-from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ...ops.nms import nms_keep_mask
-from ...structures.boxes import Boxes
 
 NEG_INF = -1e10
 

@@ -7,7 +7,6 @@ single-stage SCANDetector; this class completes the framework's detector
 family.
 """
 
-from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ Initialisation conventions follow the reference:
 Layout is NHWC throughout (TPU-native).
 """
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,14 +9,14 @@ Faster-RCNN-encoded deltas, per-level topk + per-class NMS inference.
 
 import dataclasses
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.focal_loss import sigmoid_focal_loss
-from ..structures.boxes import box_iou, decode_boxes, encode_boxes
+from ..structures.boxes import box_iou, encode_boxes
 from .layers import Conv
 
 

@@ -13,7 +13,7 @@ are computed but zeroed; with N fixed this stays static and batched).
 """
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ keeps the step shape-static).
 """
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ TPU-native form samples each kernel tap at its offset position with bilinear
 interpolation (vectorised gathers) and contracts with the kernel on the MXU.
 """
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ On TPU this lowers to vectorised gathers — no custom kernel needed: the
 gather feeds the RoI-head matmuls which dominate.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

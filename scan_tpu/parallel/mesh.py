@@ -8,7 +8,6 @@ params replicated, batch sharded over 'dp', gradients and batch prototypes
 pmean'd inside one shard_mapped train step (riding ICI collectives).
 """
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -13,10 +13,7 @@ each iteration; here a single ``optax.multi_transform`` with labels
 one call, which is what a fused TPU train step wants.
 """
 
-import bisect
-from typing import Any, Dict
 
-import jax
 import optax
 
 

@@ -12,7 +12,7 @@ Storage is orbax (async-capable, TPU-native) instead of torch.save.
 
 import logging
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

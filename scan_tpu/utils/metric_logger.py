@@ -1,6 +1,5 @@
 """Smoothed training metrics (reference ``fcos_core/utils/metric_logger.py``)."""
 
-import time
 from collections import defaultdict, deque
 
 

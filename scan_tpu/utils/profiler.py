@@ -9,7 +9,6 @@ host sync, since dispatch is async.
 
 import contextlib
 import time
-from typing import Optional
 
 import numpy as np
 
