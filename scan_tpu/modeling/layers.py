@@ -149,17 +149,26 @@ class MultiHeadSelfAttention(nn.Module):
         k = nn.Dense(d, name="linear_k")(x)
         v = nn.Dense(d, name="linear_v")(x)
         n = x.shape[0]
-        q = q.reshape(n, h, dh).transpose(1, 0, 2)  # (h, N, dh)
-        k = k.reshape(n, h, dh).transpose(1, 0, 2)
-        v = v.reshape(n, h, dh).transpose(1, 0, 2)
+        # Reference head split is a raw view (transformer.py:67-69):
+        # (1, N, D).view(heads, -1, dh) in row-major order — NOT the
+        # standard per-channel head split. Reproduce it exactly so
+        # converted reference checkpoints agree numerically.
+        q = q.reshape(h, n, dh)
+        k = k.reshape(h, n, dh)
+        v = v.reshape(h, n, dh)
         # reference scale: (dim_per_head // num_heads) ** -0.5
         scale = float(max(dh // h, 1)) ** -0.5
         attn = jnp.einsum("hnd,hmd->hnm", q, k, preferred_element_type=jnp.float32) * scale
         if mask is not None:
-            attn = jnp.where(mask[None, None, :], attn, -1e30)
+            # Under the raw-view split, key position m of head h_ holds a
+            # dh-slice of original node (h_*n + m) // h — remap validity.
+            pos = jnp.arange(h)[:, None] * n + jnp.arange(n)[None, :]
+            pos_mask = mask[pos // h]  # (h, n)
+            attn = jnp.where(pos_mask[:, None, :], attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1)
         ctx = jnp.einsum("hnm,hmd->hnd", attn, v, preferred_element_type=jnp.float32)
-        ctx = ctx.transpose(1, 0, 2).reshape(n, d)
+        # inverse raw view (transformer.py:82): (h, n, dh) -> (n, d)
+        ctx = ctx.reshape(n, d)
         out = nn.Dense(d, name="linear_final")(ctx)
-        out = nn.LayerNorm(name="layer_norm")(x + out)
+        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x + out)
         return out

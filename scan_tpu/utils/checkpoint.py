@@ -43,6 +43,10 @@ class Checkpointer:
         if extra:
             tree["extra"] = extra
         self._ckptr.save(path, tree, force=True)
+        # StandardCheckpointer.save is async; block until the files are on
+        # disk so a process exiting right after save() (e.g. model_final at
+        # the end of training) can't tear down the interpreter mid-write.
+        self._ckptr.wait_until_finished()
         with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
             f.write(path)
         logger.info("saved checkpoint %s", path)
