@@ -237,7 +237,8 @@ class CondGraph(nn.Module):
                 c.cond_hidden, kernel_init=normal_init(1.0), name="cond_nx1"
             )  # (proto_channel*ITER)->hidden; reference init: Normal(std=1)
             self.cond_nx1_norm = nn.GroupNorm(
-                num_groups=32, epsilon=1e-5, name="cond_nx1_norm"
+                num_groups=32, epsilon=1e-5, use_fast_variance=False,
+                name="cond_nx1_norm"
             )
         else:
             self.cond_1 = nn.Dense(
@@ -394,8 +395,18 @@ class CondGraph(nn.Module):
             out.append(self.head_out(jnp.concatenate([f, a.astype(f.dtype)], axis=-1)))
         return out
 
+    def _class_exist(self, node_labels, node_valid):
+        """Classes with at least one valid node this step — the intent
+        behind the reference's ``prototype_batch.sum(-1).bool()`` gates
+        (condgraph.py:560, 468), computed from counts so LayerNorm-init
+        batch means summing to float-exact zero can't flip the gate."""
+        c = self.cfg
+        cls_index = node_labels if c.with_bg_proto else node_labels - 1
+        oh = jax.nn.one_hot(cls_index, c.used_classes, dtype=jnp.float32)
+        return jnp.sum(oh * node_valid[:, None], axis=0) > 0
+
     def get_transfer_loss(self, sr_prototype, tg_prototype, tg_nodes,
-                          tg_labels, tg_valid):
+                          tg_labels, tg_valid, exist=None):
         """Graph-based Semantic Transfer (reference condgraph.py:457-498)."""
         c = self.cfg
         losses = []
@@ -411,7 +422,8 @@ class CondGraph(nn.Module):
             denom = jnp.maximum(jnp.sum(m) * kl.shape[1], 1.0)
             losses.append(jnp.sum(kl * m) / denom)
 
-        exist = jnp.sum(tg_prototype, axis=-1) != 0
+        if exist is None:
+            exist = jnp.sum(tg_prototype, axis=-1) != 0
 
         if "PROTOTYPE" in cfg_str:
             tgt = jax.nn.softmax(sr_prototype, axis=-1)
@@ -476,6 +488,7 @@ class CondGraph(nn.Module):
         new_state = update_prototype(
             proto_state, proto_batch, c.proto_iter, c.use_rnn,
             c.cosine_update, c.proto_momentum,
+            exist=self._class_exist(node_labels, node_valid),
         )
         conded_weight = self.get_conded_weight(new_state.prototype)
         maps_logits, act_maps = self._act_maps(features, conded_weight)
@@ -510,7 +523,8 @@ class CondGraph(nn.Module):
             node_loss, tg_proto = self.forward_gcns(nodes, node_labels, node_valid)
             sr_proto = source_prototype_view(proto_state, c.proto_iter)
             transfer = self.get_transfer_loss(
-                sr_proto, tg_proto, nodes, node_labels, node_valid
+                sr_proto, tg_proto, nodes, node_labels, node_valid,
+                exist=self._class_exist(node_labels, node_valid),
             )
             gate = any_nodes.astype(jnp.float32)
             if transfer is not None:

@@ -52,11 +52,20 @@ def _blend(old_slice, batch, exist, cosine, momentum):
 
 def update_prototype(state: ProtoState, prototype_batch: jnp.ndarray,
                      proto_iter: int, use_rnn: bool, cosine: bool,
-                     momentum: float = 0.95) -> ProtoState:
+                     momentum: float = 0.95, exist=None) -> ProtoState:
     """Dispatch matching reference update_prototype_ensemble
-    (condgraph.py:304-311)."""
+    (condgraph.py:304-311).
+
+    ``exist`` marks the classes to update. The reference derives it as
+    ``prototype_batch.sum(-1).bool()`` (condgraph.py:560) — a proxy for
+    "class had nodes this step" that is numerically chaotic when the batch
+    means sum to ~0 (LayerNorm-init outputs). Callers that know the true
+    node counts should pass the counts-based mask; the sum test remains
+    the default for reference-shaped callers.
+    """
     batch = jax.lax.stop_gradient(prototype_batch)
-    exist = jnp.sum(batch, axis=-1) != 0
+    if exist is None:
+        exist = jnp.sum(batch, axis=-1) != 0
 
     if proto_iter == 1:
         new_proto = _blend(state.prototype, batch, exist, cosine, momentum)

@@ -29,30 +29,59 @@ from ..fcos.targets import compute_targets, expand_soi
 
 
 def _even_subset_mask(select_from: jnp.ndarray, want: jnp.ndarray) -> jnp.ndarray:
-    """Pick ~`want` elements evenly spaced among True entries of select_from.
+    """Exact membership set of the reference's balanced-BG selection
+    ``np.floor(np.linspace(0, n-2, want))`` (loss.py:455, 517) over the True
+    entries of ``select_from``, ranked in flat order.
 
-    Mirrors the reference's ``np.linspace`` negative sampling: the r-th True
-    element is kept iff floor(r*want/n) > floor((r-1)*want/n).
+    The r-th True element is selected iff some i in [0, want) has
+    floor(i*(n-2)/(want-1)) == r, i.e. the smallest i with
+    i*(n-2)/(want-1) >= r still lands below r+1. Duplicated linspace
+    indices (want approaching n) collapse to a single selection here —
+    the reference would emit the same node twice (see PARITY.md).
     """
-    n = jnp.maximum(jnp.sum(select_from.astype(jnp.int32)), 1)
+    n = jnp.sum(select_from.astype(jnp.int32))
     rank = jnp.cumsum(select_from.astype(jnp.int32)) - 1  # rank among True
-    # float64-free proportional selection; products stay < 2^31 for any
-    # realistic (num_locations x num_positives) pair after the f32 divide
-    w = want.astype(jnp.float32)
-    nf = n.astype(jnp.float32)
-    cur = jnp.floor((rank.astype(jnp.float32) + 1) * w / nf)
-    prev = jnp.floor(rank.astype(jnp.float32) * w / nf)
-    return select_from & (cur > prev)
+    want_i = want.astype(jnp.int32)
+    m = jnp.maximum(n - 2, 1)
+    km1 = jnp.maximum(want_i - 1, 1)
+    # integer membership: rank r is floor(i*m/km1) for some i in [0, km1]
+    # iff ceil(r*km1/m) <= floor(((r+1)*km1 - 1)/m). Integer arithmetic —
+    # XLA's reciprocal-multiply float division is not exact at the
+    # boundaries np.linspace lands on.
+    r = jnp.maximum(rank, 0)
+    lo = (r * km1 + m - 1) // m
+    hi = ((r + 1) * km1 - 1) // m
+    hit = (lo <= hi) & (lo <= km1)
+    # degenerate spans: n <= 2 or want == 1 -> reference selects index 0
+    hit = jnp.where((n > 2) & (want_i >= 2), hit, rank == 0)
+    # reference takes ALL negatives when positives outnumber them
+    # (loss.py:452-454)
+    hit = jnp.where(want_i >= n, jnp.ones_like(hit), hit)
+    hit = jnp.where(want_i >= 1, hit, jnp.zeros_like(hit))
+    return select_from & hit & (rank >= 0)
 
 
 def gather_nodes(features_flat: jnp.ndarray, labels_flat: jnp.ndarray,
                  select: jnp.ndarray, max_nodes: int):
     """Gather selected rows into a fixed (max_nodes, C) buffer.
 
-    Returns (nodes, node_labels, node_valid). Selection overflow truncates
-    in flat order (stable).
+    Returns (nodes, node_labels, node_valid). Node order reproduces the
+    reference's ``cat([neg_points, pos_points])`` layout (loss.py:462-466):
+    all selected background rows first, then all selected foreground rows,
+    each group in flat (level-major) order. The order is semantic, not
+    cosmetic: the reference MHA's raw-view head split makes graph
+    aggregation depend on node positions. Overflow truncates positives
+    first (background keeps the balance anchor).
     """
-    order = jnp.argsort(~select, stable=True)  # True (selected) first
+    n = select.shape[0]
+    is_pos = labels_flat > 0
+    pos_idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(
+        select,
+        is_pos.astype(jnp.int32) * n + pos_idx,
+        2 * n + pos_idx,
+    )
+    order = jnp.argsort(key)
     idx = order[:max_nodes]
     nodes = features_flat[idx]
     node_labels = labels_flat[idx]

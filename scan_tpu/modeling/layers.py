@@ -68,7 +68,8 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype
+            num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype,
+            use_fast_variance=False,
         )(x)
 
 
@@ -170,5 +171,7 @@ class MultiHeadSelfAttention(nn.Module):
         # inverse raw view (transformer.py:82): (h, n, dh) -> (n, d)
         ctx = ctx.reshape(n, d)
         out = nn.Dense(d, name="linear_final")(ctx)
-        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x + out)
+        out = nn.LayerNorm(
+            epsilon=1e-5, use_fast_variance=False, name="layer_norm"
+        )(x + out)
         return out

@@ -82,6 +82,17 @@ class _CudaToCpu(TorchFunctionMode):
             return args[0]
         args = tuple(self._fix(a) for a in args)
         kwargs = {k: self._fix(v) for k, v in kwargs.items()}
+        # old-torch leniency: the reference passes a (1, K*K) all-ones
+        # target to CosineEmbeddingLoss (condgraph.py:479-481); modern
+        # torch requires a 1D (N,) target. Same semantics, reshaped.
+        if (
+            name == "cosine_embedding_loss"
+            and len(args) >= 3
+            and isinstance(args[2], torch.Tensor)
+            and args[2].dim() > 1
+        ):
+            n = args[0].shape[0]
+            args = (args[0], args[1], args[2].reshape(-1)[:n]) + args[3:]
         try:
             return func(*args, **kwargs)
         except RuntimeError as e:
