@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config.paths_catalog import DatasetCatalog
 from .datasets.coco import COCODataset
+from .datasets.concat import ConcatDataset
 from .datasets.voc_xml import KittiDataset, PascalVOCDataset, Sim10kDataset
 from .transforms import build_preprocessor, get_resize_hw
 
@@ -40,6 +41,20 @@ def build_dataset(name: str, is_train: bool):
     elif is_train is False:
         args["use_difficult"] = True
     return factory(**args)
+
+
+def build_datasets(names, is_train: bool):
+    """Builds every name in a DATASETS list; concatenates when training
+    (reference ``fcos_core/data/build.py:32-54``). Test-time callers get
+    the per-name list back, one loader/evaluation per dataset."""
+    if isinstance(names, str):
+        names = (names,)
+    datasets = [build_dataset(n, is_train) for n in names]
+    if not is_train:
+        return datasets
+    if len(datasets) == 1:
+        return datasets[0]
+    return ConcatDataset(datasets)
 
 
 def _round_up(x, m):
@@ -254,8 +269,7 @@ class DetectionLoader:
 
 
 def make_data_loader_source(cfg, seed: int = 1234):
-    names = cfg.DATASETS.TRAIN_SOURCE
-    ds = build_dataset(names[0], is_train=True)
+    ds = build_datasets(cfg.DATASETS.TRAIN_SOURCE, is_train=True)
     # each DA stream uses the full IMS_PER_BATCH (reference data/build.py:183)
     return DetectionLoader(
         ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
@@ -264,8 +278,7 @@ def make_data_loader_source(cfg, seed: int = 1234):
 
 
 def make_data_loader_target(cfg, seed: int = 1234):
-    names = cfg.DATASETS.TRAIN_TARGET
-    ds = build_dataset(names[0], is_train=True)
+    ds = build_datasets(cfg.DATASETS.TRAIN_TARGET, is_train=True)
     return DetectionLoader(
         ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
         max_iters=cfg.SOLVER.MAX_ITER, seed=seed + 1,
@@ -274,13 +287,22 @@ def make_data_loader_target(cfg, seed: int = 1234):
 
 def make_data_loader_train(cfg, seed: int = 1234):
     names = cfg.DATASETS.TRAIN_SOURCE or cfg.DATASETS.TRAIN
-    ds = build_dataset(names[0], is_train=True)
+    ds = build_datasets(names, is_train=True)
     return DetectionLoader(
         ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
         max_iters=cfg.SOLVER.MAX_ITER, seed=seed,
     )
 
 
+def make_data_loaders_test(cfg):
+    """One loader per DATASETS.TEST name (reference build.py:148-178:
+    test datasets are never concatenated — each is evaluated separately)."""
+    datasets = build_datasets(cfg.DATASETS.TEST, is_train=False)
+    return [
+        DetectionLoader(ds, cfg, False, cfg.TEST.IMS_PER_BATCH)
+        for ds in datasets
+    ]
+
+
 def make_data_loader_test(cfg):
-    ds = build_dataset(cfg.DATASETS.TEST[0], is_train=False)
-    return DetectionLoader(ds, cfg, False, cfg.TEST.IMS_PER_BATCH)
+    return make_data_loaders_test(cfg)[0]

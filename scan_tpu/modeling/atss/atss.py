@@ -61,6 +61,9 @@ class ATSSConfig:
     @staticmethod
     def from_cfg(cfg):
         a = cfg.MODEL.ATSS
+        adapt_topk = None
+        if a.POSITIVE_TYPE == "ADAPT_ATSS":
+            adapt_topk = adapt_topk_from_cfg(cfg)
         return ATSSConfig(
             num_classes=a.NUM_CLASSES,
             num_convs=a.NUM_CONVS,
@@ -73,6 +76,7 @@ class ATSSConfig:
             scales_per_octave=a.SCALES_PER_OCTAVE,
             topk=a.TOPK,
             positive_type=a.POSITIVE_TYPE,
+            adapt_topk=adapt_topk,
             fg_iou_thresh=a.FG_IOU_THRESHOLD,
             bg_iou_thresh=a.BG_IOU_THRESHOLD,
             loss_gamma=a.LOSS_GAMMA,
@@ -302,6 +306,37 @@ def compute_adapt_topk(class_counts, base_topk: int = 9, cap: int = 17):
     adapt = np.ceil(counts.mean() / np.maximum(counts, 1) * base_topk)
     return tuple(
         int(v) for v in np.minimum(np.maximum(base_topk, adapt), cap)
+    )
+
+
+def adapt_topk_from_cfg(cfg):
+    """Derive the ADAPT_ATSS per-class topk table from the configured
+    training dataset's class frequencies.
+
+    Reference ``atss/loss.py:41-60`` (global_cat_distribution) does this at
+    loss-evaluator init from a hardcoded Cityscapes annotation path; here the
+    counts come from cfg.DATASETS.TRAIN_SOURCE (or TRAIN). Returns None (→
+    plain ATSS behaviour) with a warning when the dataset files are not
+    present, instead of crashing model construction on inference-only hosts.
+    """
+    import logging
+
+    from ...data.build import build_datasets
+    from ...data.stats import class_instance_counts
+
+    names = cfg.DATASETS.TRAIN_SOURCE or cfg.DATASETS.TRAIN
+    try:
+        ds = build_datasets(names, is_train=True)
+        counts = class_instance_counts(ds, cfg.MODEL.ATSS.NUM_CLASSES - 1)
+    except Exception as e:  # dataset files absent on this host
+        logging.getLogger("scan_tpu.atss").warning(
+            "ADAPT_ATSS: could not derive class frequencies from %s (%s); "
+            "falling back to uniform TOPK=%d",
+            names, e, cfg.MODEL.ATSS.TOPK,
+        )
+        return None
+    return compute_adapt_topk(
+        counts, base_topk=cfg.MODEL.ATSS.TOPK, cap=17
     )
 
 

@@ -161,6 +161,55 @@ def test_adapt_atss_topk_table_and_assignment():
     assert np.asarray(labels).max() == 3
 
 
+def test_adapt_atss_wired_from_cfg(tmp_path, monkeypatch):
+    """POSITIVE_TYPE='ADAPT_ATSS' in a config derives the per-class topk
+    table from the configured training dataset's class frequencies
+    (reference atss/loss.py:41-60)."""
+    import json
+
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.config.paths_catalog import DatasetCatalog
+
+    # synthetic COCO annotations: class 1 common (10 inst), class 2 rare (1)
+    anns = []
+    k = 0
+    for img_id, n1 in ((1, 6), (2, 4)):
+        for _ in range(n1):
+            k += 1
+            anns.append(dict(id=k, image_id=img_id, category_id=1,
+                             bbox=[0, 0, 10, 10], area=100, iscrowd=0))
+    k += 1
+    anns.append(dict(id=k, image_id=1, category_id=2,
+                     bbox=[5, 5, 10, 10], area=100, iscrowd=0))
+    coco = dict(
+        images=[dict(id=1, width=64, height=64, file_name="1.jpg"),
+                dict(id=2, width=64, height=64, file_name="2.jpg")],
+        categories=[dict(id=1, name="a"), dict(id=2, name="b")],
+        annotations=anns,
+    )
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(coco))
+    monkeypatch.setitem(
+        DatasetCatalog.DATASETS, "coco_synth_adapt",
+        {"img_dir": str(tmp_path), "ann_file": str(ann_file)},
+    )
+
+    cfg = get_default_cfg()
+    cfg.DATASETS.TRAIN_SOURCE = ("coco_synth_adapt",)
+    cfg.MODEL.ATSS.NUM_CLASSES = 3
+    cfg.MODEL.ATSS.POSITIVE_TYPE = "ADAPT_ATSS"
+    acfg = ATSSConfig.from_cfg(cfg)
+    # counts=[10,1], mean=5.5: common keeps base 9, rare capped at 17
+    assert acfg.adapt_topk == (9, 17)
+
+    # missing dataset files -> graceful fallback to plain ATSS (None table)
+    cfg2 = get_default_cfg()
+    cfg2.DATASETS.TRAIN_SOURCE = ("cityscapes_train_cocostyle",)
+    cfg2.MODEL.ATSS.POSITIVE_TYPE = "ADAPT_ATSS"
+    acfg2 = ATSSConfig.from_cfg(cfg2)
+    assert acfg2.adapt_topk is None
+
+
 def test_atss_postprocess_recovers_planted_box():
     import dataclasses
 

@@ -23,7 +23,7 @@ def main():
     args = parser.parse_args()
 
     from scan_tpu.config import get_default_cfg
-    from scan_tpu.data.build import make_data_loader_test
+    from scan_tpu.data.build import make_data_loaders_test
     from scan_tpu.engine.inference import inference
     from scan_tpu.modeling.detector import build_detector
     from scan_tpu.utils.checkpoint import Checkpointer
@@ -37,9 +37,11 @@ def main():
 
     logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
     detector = build_detector(cfg)
-    loader = make_data_loader_test(cfg)
+    # one loader per DATASETS.TEST name (reference tools/test_net.py:71-97
+    # evaluates each test dataset separately)
+    loaders = make_data_loaders_test(cfg)
 
-    bucket = loader.bucket_hw
+    bucket = max(loader.bucket_hw for loader in loaders)
     sample = jnp.zeros((1, bucket[0], bucket[1], 3), jnp.float32)
     params, proto_state = detector.init_params(jax.random.PRNGKey(0), sample)
 
@@ -49,12 +51,17 @@ def main():
             cfg.MODEL.WEIGHT, params, proto_state, None, load_dis=False
         )
 
-    results, predictions = inference(detector, params, proto_state, loader)
-    printable = {
-        k: v for k, v in results.items() if not isinstance(v, dict)
-    }
-    logger.info("results: %s", printable)
-    print(json.dumps(printable))
+    all_printable = {}
+    for name, loader in zip(cfg.DATASETS.TEST, loaders):
+        results, predictions = inference(detector, params, proto_state, loader)
+        printable = {
+            k: v for k, v in results.items() if not isinstance(v, dict)
+        }
+        logger.info("results[%s]: %s", name, printable)
+        all_printable[name] = printable
+    if len(all_printable) == 1:
+        all_printable = next(iter(all_printable.values()))
+    print(json.dumps(all_printable))
 
 
 if __name__ == "__main__":
