@@ -33,6 +33,12 @@ def main():
         )
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # knobs: BENCH_INT8=1 -> w8a8 int8-MXU towers; BENCH_MODE=light/
+    # precision/hybrid -> TEST.MODE
+    if os.environ.get("BENCH_INT8") == "1":
+        cfg.TPU.INT8_INFERENCE = True
+    if os.environ.get("BENCH_MODE"):
+        cfg.TEST.MODE = os.environ["BENCH_MODE"]
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     h, w = 800, 1344  # 800x1333 padded to /32
 

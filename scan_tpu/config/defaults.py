@@ -460,6 +460,9 @@ _C.TPU.NMS_CAP = 512
 _C.TPU.DEVICE_NORMALIZE = True
 # Trap NaNs in every jitted op (reference's test_nan asserts, debug only).
 _C.TPU.DEBUG_NANS = False
+# w8a8 int8-MXU inference (backbone + FPN + head towers): ~2x the bf16
+# MXU rate on v5e. Inference path only; training always runs fp.
+_C.TPU.INT8_INFERENCE = False
 
 
 def get_default_cfg():

@@ -1,28 +1,87 @@
-"""Data-parallel (multi-chip) train step via shard_map over a 1-D mesh."""
+"""Data-parallel (multi-chip) train steps via shard_map over a 1-D mesh.
 
+Parity target: the reference wires per-module DDP into its entry point
+(reference ``tools/train_net_da.py:421-515,698-703``); its DA path is in
+practice single-GPU because the prototype buffer never syncs. Here one
+shard_mapped step shards the global batch over the 'dp' axis, replicates
+params, and pmeans gradients AND batch prototypes on ICI — the same
+per-replica-normalise-then-average gradient semantics as DDP, plus the
+prototype sync the reference lacks.
+"""
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..modeling.detector import SCANDetector
-from .train_step import make_da_train_step
+from .train_step import make_da_train_step, make_source_only_train_step
+
+
+def _shard_mapped(bound, mesh: Mesh, n_batches: int):
+    """jit(shard_map(bound)): params/opt/proto replicated, batches sharded."""
+    specs = (P(), P(), P()) + (P("dp"),) * n_batches
+    return jax.jit(
+        jax.shard_map(
+            bound, mesh=mesh,
+            in_specs=specs,
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
 
 
 def make_dp_da_train_step(detector: SCANDetector, optimizer, mesh: Mesh,
-                          forward_target: bool = False):
-    """Full DA step sharded over the 'dp' axis: batch split, params
-    replicated, grads + batch prototypes pmean'd on ICI."""
+                          forward_target=None):
+    """Full DA step sharded over the 'dp' axis.
+
+    With ``forward_target=None`` (default) returns a dispatcher with the
+    same signature as the single-device step from ``make_da_train_step`` —
+    ``step(params, opt_state, proto_state, batch_s, batch_t,
+    forward_target=bool)`` — compiling one shard_mapped variant per gate
+    value on first use (the AP50 gate changes which subgraphs exist, so it
+    must stay trace-static). Passing a bool pins a single variant and the
+    returned step takes no gate argument.
+    """
     step = make_da_train_step(detector, optimizer, axis_name="dp")
 
-    def bound(params, opt_state, proto_state, batch_s, batch_t):
-        return step(params, opt_state, proto_state, batch_s, batch_t,
-                    forward_target=forward_target)
+    def variant(ft: bool):
+        def bound(params, opt_state, proto_state, batch_s, batch_t):
+            return step(params, opt_state, proto_state, batch_s, batch_t,
+                        forward_target=ft)
 
-    sharded = jax.shard_map(
-        bound,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P("dp")),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+        return _shard_mapped(bound, mesh, n_batches=2)
+
+    if forward_target is not None:
+        return variant(bool(forward_target))
+
+    variants = {}
+
+    def dispatch(params, opt_state, proto_state, batch_s, batch_t,
+                 forward_target: bool = False):
+        ft = bool(forward_target)
+        if ft not in variants:
+            variants[ft] = variant(ft)
+        return variants[ft](params, opt_state, proto_state, batch_s, batch_t)
+
+    return dispatch
+
+
+def make_dp_source_only_train_step(detector: SCANDetector, optimizer,
+                                   mesh: Mesh):
+    """Source-only (non-DA) step sharded over the 'dp' axis
+    (multi-chip form of ``make_source_only_train_step``)."""
+    step = make_source_only_train_step(detector, optimizer, axis_name="dp")
+    return _shard_mapped(step, mesh, n_batches=1)
+
+
+def build_da_train_step(detector: SCANDetector, optimizer, mesh=None):
+    """Single-device or dp step behind one signature. ``mesh=None`` or a
+    1-device mesh gives the plain jitted step."""
+    if mesh is None or mesh.size == 1:
+        return make_da_train_step(detector, optimizer)
+    return make_dp_da_train_step(detector, optimizer, mesh)
+
+
+def build_source_only_train_step(detector: SCANDetector, optimizer, mesh=None):
+    if mesh is None or mesh.size == 1:
+        return make_source_only_train_step(detector, optimizer)
+    return make_dp_source_only_train_step(detector, optimizer, mesh)

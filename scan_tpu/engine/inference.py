@@ -19,13 +19,32 @@ from ..evaluation.voc_eval import evaluate_voc_dataset
 logger = logging.getLogger("scan_tpu.inference")
 
 
-def compute_predictions(detector, params, proto_state, data_loader,
-                        progress_every: int = 50) -> Dict[int, dict]:
-    """Runs the model over an eval loader; returns index -> prediction dict
-    (boxes xyxy in ORIGINAL image coordinates, scores, labels)."""
-    fwd = jax.jit(
+def _make_forward(detector, mesh=None, batch_size: int = 0):
+    """Jitted inference forward; with a >1-device mesh the batch dim is
+    sharded over 'dp' (params replicated) so eval rides all chips
+    (reference ``fcos_core/engine/inference.py:40-59`` gathers per-GPU
+    predictions; here GSPMD partitions one jitted forward and device_get
+    reassembles the global arrays)."""
+    if mesh is not None and mesh.size > 1 and batch_size % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("dp"))
+        return jax.jit(
+            lambda p, s, im, sz: detector.forward_inference(p, s, im, sz),
+            in_shardings=(rep, rep, shard, shard),
+            out_shardings=shard,
+        )
+    return jax.jit(
         lambda p, s, im, sz: detector.forward_inference(p, s, im, sz)
     )
+
+
+def compute_predictions(detector, params, proto_state, data_loader,
+                        progress_every: int = 50, mesh=None) -> Dict[int, dict]:
+    """Runs the model over an eval loader; returns index -> prediction dict
+    (boxes xyxy in ORIGINAL image coordinates, scores, labels)."""
+    fwd = _make_forward(detector, mesh, data_loader.batch_size)
     predictions: Dict[int, dict] = {}
     t0 = time.time()
     n_img = 0
@@ -74,8 +93,10 @@ def evaluate_dataset(dataset, predictions: Dict[int, dict]):
     return evaluate_voc_dataset(dataset, predictions)
 
 
-def inference(detector, params, proto_state, data_loader):
+def inference(detector, params, proto_state, data_loader, mesh=None):
     """Full eval: predictions + metrics (reference engine/inference.py:62)."""
-    predictions = compute_predictions(detector, params, proto_state, data_loader)
+    predictions = compute_predictions(
+        detector, params, proto_state, data_loader, mesh=mesh
+    )
     results = evaluate_dataset(data_loader.dataset, predictions)
     return results, predictions

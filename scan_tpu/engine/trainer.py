@@ -36,6 +36,8 @@ def do_train_da(
     checkpointer=None,
     start_iter: int = 0,
     initial_ap50: Optional[float] = None,
+    mesh=None,
+    tb_logger=None,
 ):
     meters = MetricLogger()
     max_iter = cfg.SOLVER.MAX_ITER
@@ -47,14 +49,18 @@ def do_train_da(
 
     logger.info("Start DA training: %d iterations", max_iter)
     end = time.time()
+    data_time_acc = 0.0
+    window = 0
 
     src_iter = iter(loader_source)
     tgt_iter = iter(loader_target)
     for iteration in range(start_iter, max_iter):
+        t0 = time.time()
         batch_s = next(src_iter)
         batch_t_full = next(tgt_iter)
         batch_t = {"images": batch_t_full["images"]}
-        data_time = time.time() - end
+        data_time_acc += time.time() - t0
+        window += 1
 
         forward_target = bool(ap50_emp > cfg.SOLVER.INITIAL_AP50)
         params, opt_state, proto_state, metrics = train_step(
@@ -67,8 +73,13 @@ def do_train_da(
             host_metrics = {
                 k: float(v) for k, v in jax.device_get(metrics).items()
             }
-            batch_time = (time.time() - end) / 20
-            meters.update(time=batch_time, data=data_time, **host_metrics)
+            batch_time = (time.time() - end) / window
+            meters.update(time=batch_time, data=data_time_acc / window,
+                          **host_metrics)
+            data_time_acc = 0.0
+            window = 0
+            if tb_logger is not None:
+                tb_logger.log_scalars(host_metrics, it)
             eta = datetime.timedelta(
                 seconds=int(meters.time.global_avg * (max_iter - it))
             )
@@ -82,10 +93,14 @@ def do_train_da(
         if adapt_val and loader_val is not None and it % val_iter == 0:
             from .inference import inference
 
-            results, _ = inference(detector, params, proto_state, loader_val)
+            results, _ = inference(
+                detector, params, proto_state, loader_val, mesh=mesh
+            )
             cur = float(results.get(val_type, results.get("AP50", 0.0)))
             ap50_emp = cur * 100 if cur <= 1.0 else cur
             logger.info("validation @%d: %s=%.4f", it, val_type, ap50_emp)
+            if tb_logger is not None:
+                tb_logger.log_scalars({f"val/{val_type}": ap50_emp}, it)
             if ap50_emp > best_metric:
                 best_metric = ap50_emp
                 if checkpointer is not None:

@@ -40,6 +40,16 @@ from .ops.nms import ml_nms, nms, nms_keep_mask
 from .ops.roi_align import roi_align, roi_pool
 
 
+def safe_l2_norm(x, axis=None, keepdims=False, eps: float = 1e-8):
+    """L2 norm with a finite gradient at 0.
+
+    ``jnp.linalg.norm`` backpropagates x/||x|| — NaN on exactly-zero rows,
+    which are routine here (empty prototype slots, masked-out nodes). The
+    forward value differs from the true norm by <= eps.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps * eps)
+
+
 def smooth_l1_loss(input, target, beta: float = 1.0 / 9, size_average=True):
     """Reference ``layers/smooth_l1_loss.py`` semantics."""
     d = jnp.abs(input - target)
@@ -64,7 +74,7 @@ def cosine_loss(batch, glb, label_indx):
     g = jax.lax.stop_gradient(glb) * mask[:, None]
     dot = jnp.sum(b * g, axis=1)
     denom = jnp.maximum(
-        jnp.linalg.norm(b, axis=1) * jnp.linalg.norm(g, axis=1), 1e-8
+        safe_l2_norm(b, axis=1) * safe_l2_norm(g, axis=1), 1e-8
     )
     per_row = 1.0 - dot / denom
     n = jnp.maximum(jnp.sum(mask), 1.0)
@@ -78,12 +88,8 @@ def supcon_loss_with_prototype(features, labels, prototypes, proto_labels,
     """Supervised-contrastive loss against class prototypes (reference
     ``layers/contrastive_loss.py`` SupConLossWithPrototypeDA, simplified to
     its used core: anchor-vs-prototype InfoNCE with same-class positives)."""
-    f = features / jnp.maximum(
-        jnp.linalg.norm(features, axis=1, keepdims=True), 1e-8
-    )
-    p = prototypes / jnp.maximum(
-        jnp.linalg.norm(prototypes, axis=1, keepdims=True), 1e-8
-    )
+    f = features / safe_l2_norm(features, axis=1, keepdims=True)
+    p = prototypes / safe_l2_norm(prototypes, axis=1, keepdims=True)
     logits = (f @ p.T) / temperature  # (N, P)
     pos = (labels[:, None] == proto_labels[None, :]).astype(logits.dtype)
     logp = jax.nn.log_softmax(logits, axis=1)

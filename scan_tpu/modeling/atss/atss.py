@@ -90,6 +90,7 @@ class ATSSHead(nn.Module):
     in_channels: int = 256
     num_levels: int = 5
     dtype: Optional[Any] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, features):
@@ -97,9 +98,9 @@ class ATSSHead(nn.Module):
         num_fg = c.num_classes - 1
         na = c.num_anchors
         cls_tower = ConvTower(c.num_convs, self.in_channels, dtype=self.dtype,
-                              name="cls_tower")
+                              quant=self.quant, name="cls_tower")
         box_tower = ConvTower(c.num_convs, self.in_channels, dtype=self.dtype,
-                              name="bbox_tower")
+                              quant=self.quant, name="bbox_tower")
         bias_value = -math.log((1 - c.prior_prob) / c.prior_prob)
         cls_logits = Conv(na * num_fg, 3, dtype=self.dtype,
                           bias_init=nn.initializers.constant(bias_value),

@@ -22,13 +22,23 @@ class _BackboneWithFPN(nn.Module):
     body_kwargs: dict
     fpn_kwargs: dict
     dtype: Optional[object] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        feats = self.body_cls(
-            dtype=self.dtype, name="body", **self.body_kwargs
-        )(x)
-        return FPN(dtype=self.dtype, name="fpn", **self.fpn_kwargs)(feats)
+        kw = dict(self.body_kwargs)
+        if self.quant and "quant" in type(self).body_quant_fields(self.body_cls):
+            kw["quant"] = True
+        feats = self.body_cls(dtype=self.dtype, name="body", **kw)(x)
+        return FPN(
+            dtype=self.dtype, quant=self.quant, name="fpn", **self.fpn_kwargs
+        )(feats)
+
+    @staticmethod
+    def body_quant_fields(cls):
+        import dataclasses
+
+        return {f.name for f in dataclasses.fields(cls)}
 
 
 @BACKBONES.register("VGG-16-FPN-RETINANET")
@@ -142,8 +152,11 @@ def build_fbnet_fpn_backbone(cfg, dtype=None):
     )
 
 
-def build_backbone(cfg, dtype=None):
+def build_backbone(cfg, dtype=None, quant: bool = False):
     body = cfg.MODEL.BACKBONE.CONV_BODY
     if body not in BACKBONES:
         raise KeyError(f"Unknown backbone: {body}")
-    return BACKBONES[body](cfg, dtype=dtype)
+    bb = BACKBONES[body](cfg, dtype=dtype)
+    if quant:
+        bb = bb.clone(quant=True)
+    return bb

@@ -35,6 +35,7 @@ class FPN(nn.Module):
     use_relu: bool = False
     use_c5_for_p6: bool = False
     dtype: Optional[object] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, inputs):
@@ -44,7 +45,7 @@ class FPN(nn.Module):
 
         def block(x, features, ksize, name):
             y = Conv(
-                features, ksize, kernel_init=kinit,
+                features, ksize, kernel_init=kinit, quant=self.quant,
                 use_bias=not self.use_gn, dtype=self.dtype, name=name,
             )(x)
             if self.use_gn:
@@ -68,11 +69,11 @@ class FPN(nn.Module):
             src = feats[-1] if self.use_c5_for_p6 else results[-1]
             p6 = Conv(
                 self.out_channels, 3, stride=2, kernel_init=kinit,
-                dtype=self.dtype, name="p6",
+                quant=self.quant, dtype=self.dtype, name="p6",
             )(src)
             p7 = Conv(
                 self.out_channels, 3, stride=2, kernel_init=kinit,
-                dtype=self.dtype, name="p7",
+                quant=self.quant, dtype=self.dtype, name="p7",
             )(nn.relu(p6))
             results.extend([p6, p7])
         elif self.top_block == "maxpool":

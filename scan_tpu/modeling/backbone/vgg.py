@@ -94,6 +94,7 @@ class VGG16(nn.Module):
     # building block for a future s2d+pruned variant.
     s2d_stage1: bool = False
     dtype: Optional[object] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -107,7 +108,8 @@ class VGG16(nn.Module):
                 idx += VGG16_STAGE_BLOCKS[0]
             else:
                 for b in range(blocks):
-                    x = Conv(ch, 3, dtype=self.dtype, name=f"conv{idx}")(x)
+                    x = Conv(ch, 3, dtype=self.dtype, quant=self.quant,
+                             name=f"conv{idx}")(x)
                     if self.with_bn:
                         x = nn.GroupNorm(
                             num_groups=None, group_size=1, epsilon=1e-5,

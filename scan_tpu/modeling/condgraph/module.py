@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...layers import safe_l2_norm
 from ...ops.dynamic_conv import dynamic_conv
 from ...ops.focal_loss import bce_focal_loss, softmax_focal_loss
 from ...ops.locations import compute_locations
@@ -44,9 +45,12 @@ EPS = 1e-8
 
 
 def sim_matrix(a, b, eps=EPS):
-    """Cosine similarity matrix (reference condgraph.py:35-43)."""
-    a_n = jnp.linalg.norm(a, axis=1, keepdims=True)
-    b_n = jnp.linalg.norm(b, axis=1, keepdims=True)
+    """Cosine similarity matrix (reference condgraph.py:35-43).
+
+    safe_l2_norm keeps the gradient finite on exactly-zero rows (empty
+    prototype slots) — jnp.linalg.norm would backprop NaN there."""
+    a_n = safe_l2_norm(a, axis=1, keepdims=True, eps=eps)
+    b_n = safe_l2_norm(b, axis=1, keepdims=True, eps=eps)
     a = a / jnp.maximum(a_n, eps)
     b = b / jnp.maximum(b_n, eps)
     return a @ b.T
@@ -448,7 +452,7 @@ class CondGraph(nn.Module):
             a = adj_sr.reshape(-1)
             b = adj_tg.reshape(-1)
             cos = jnp.dot(a, b) / jnp.maximum(
-                jnp.linalg.norm(a) * jnp.linalg.norm(b), 1e-8
+                safe_l2_norm(a) * safe_l2_norm(b), 1e-8
             )
             losses.append(1.0 - cos)
 

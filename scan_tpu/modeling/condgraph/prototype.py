@@ -38,8 +38,10 @@ def init_proto_state(rng, num_classes_used: int, channels: int, proto_iter: int)
 def _momentum(old_slice, batch, cosine: bool, momentum: float):
     if not cosine:
         return momentum
+    from ...layers import safe_l2_norm
+
     dot = jnp.sum(old_slice * batch, axis=1)
-    denom = jnp.linalg.norm(old_slice, axis=1) * jnp.linalg.norm(batch, axis=1)
+    denom = safe_l2_norm(old_slice, axis=1) * safe_l2_norm(batch, axis=1)
     cos = dot / jnp.maximum(denom, 1e-8)
     return cos[:, None]
 

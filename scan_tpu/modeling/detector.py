@@ -78,6 +78,17 @@ class SCANDetector:
         self.loss_gamma = cfg.MODEL.FCOS.LOSS_GAMMA
         self.loss_alpha = cfg.MODEL.FCOS.LOSS_ALPHA
         self.test_mode = cfg.TEST.MODE
+
+        # w8a8 int8-MXU inference variants over the SAME param tree
+        # (TPU.INT8_INFERENCE; ops/quant.py). Training always runs the fp
+        # modules — round() would kill gradients.
+        self.int8_inference = bool(cfg.TPU.get("INT8_INFERENCE", False))
+        if self.int8_inference:
+            self.backbone_inf = build_backbone(cfg, dtype=dtype, quant=True)
+            self.head_inf = self.fcos_head.clone(quant=True)
+        else:
+            self.backbone_inf = self.backbone
+            self.head_inf = self.fcos_head
         head_cfg = cfg.MODEL.ATSS if self.atss_on else cfg.MODEL.FCOS
         self.pp_cfg = PostProcessConfig(
             pre_nms_thresh=head_cfg.INFERENCE_TH,
@@ -339,7 +350,7 @@ class SCANDetector:
         """Eval path (reference trainer.py foward_detector eval branch +
         fcos.py TEST.MODE mixing)."""
         images = self._prep_images(images)
-        feats = list(self.backbone.apply(params["backbone"], images))
+        feats = list(self.backbone_inf.apply(params["backbone"], images))
         act_maps = None
         if self.condgraph_on:
             feats, _, act_maps, _ = self.middle_head.apply(
@@ -350,7 +361,7 @@ class SCANDetector:
             from .anchors import atss_level_sizes, grid_anchors
             from .atss.atss import atss_postprocess
 
-            logits, reg, ctr = self.fcos_head.apply(params["fcos"], feats)
+            logits, reg, ctr = self.head_inf.apply(params["fcos"], feats)
             anchors = grid_anchors(
                 shapes, self.strides,
                 atss_level_sizes(
@@ -364,7 +375,7 @@ class SCANDetector:
                 image_sizes,
             )
         compute_cls = self.test_mode != "light"
-        logits, reg, ctr = self.fcos_head.apply(params["fcos"], feats, compute_cls)
+        logits, reg, ctr = self.head_inf.apply(params["fcos"], feats, compute_cls)
         cls_maps, apply_sigmoid = mix_cls_maps(self.test_mode, logits, act_maps)
         pp = dataclasses.replace(self.pp_cfg, apply_sigmoid=apply_sigmoid)
         locations = compute_locations(shapes, self.strides)

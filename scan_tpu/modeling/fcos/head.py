@@ -26,6 +26,7 @@ class FCOSHead(nn.Module):
     with_reg_ctr: bool = True
     num_levels: int = 5
     dtype: Optional[object] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], compute_cls: bool = True):
@@ -33,10 +34,12 @@ class FCOSHead(nn.Module):
         lists; logits is an empty list when compute_cls=False (TEST.MODE
         'light' skips the cls tower, reference fcos.py:97-99)."""
         cls_tower = ConvTower(
-            self.num_convs_cls, self.in_channels, dtype=self.dtype, name="cls_tower"
+            self.num_convs_cls, self.in_channels, dtype=self.dtype,
+            quant=self.quant, name="cls_tower"
         )
         bbox_tower = ConvTower(
-            self.num_convs_reg, self.in_channels, dtype=self.dtype, name="bbox_tower"
+            self.num_convs_reg, self.in_channels, dtype=self.dtype,
+            quant=self.quant, name="bbox_tower"
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         cls_logits = Conv(

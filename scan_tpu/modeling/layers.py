@@ -36,8 +36,31 @@ def kaiming_uniform_a1():
     return init
 
 
+class _ConvParams(nn.Module):
+    """Declares kernel/bias at the same tree paths nn.Conv would
+    (<parent>/Conv_0/{kernel,bias}) without running the conv — the int8
+    path reads the identical fp32 param tree as the regular path."""
+
+    shape: tuple
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = (
+            self.param("bias", self.bias_init, (self.shape[-1],))
+            if self.use_bias else None
+        )
+        return k, b
+
+
 class Conv(nn.Module):
-    """3x3/1x1 conv with explicit init and optional stride, NHWC."""
+    """3x3/1x1 conv with explicit init and optional stride, NHWC.
+
+    ``quant=True`` runs the w8a8 int8-MXU path (ops/quant.py) over the same
+    parameters — inference only (round() kills gradients)."""
 
     features: int
     kernel_size: int = 3
@@ -46,9 +69,24 @@ class Conv(nn.Module):
     kernel_init: Callable = normal_init(0.01)
     bias_init: Callable = nn.initializers.zeros
     dtype: Optional[Dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.quant:
+            from ..ops.quant import int8_conv
+
+            k, b = _ConvParams(
+                (self.kernel_size, self.kernel_size,
+                 x.shape[-1], self.features),
+                self.use_bias, self.kernel_init, self.bias_init,
+                name="Conv_0",
+            )()
+            p = self.kernel_size // 2
+            return int8_conv(
+                x, k, b, stride=self.stride, padding=((p, p), (p, p)),
+                out_dtype=self.dtype or x.dtype,
+            )
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -80,11 +118,13 @@ class ConvTower(nn.Module):
     features: int
     norm: str = "GN"  # 'GN' | 'NONE'
     dtype: Optional[Dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = Conv(self.features, 3, dtype=self.dtype, name=f"conv{i}")(x)
+            x = Conv(self.features, 3, dtype=self.dtype, quant=self.quant,
+                     name=f"conv{i}")(x)
             if self.norm == "GN":
                 x = GroupNorm32(dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.relu(x)

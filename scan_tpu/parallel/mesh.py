@@ -14,6 +14,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed(enable: bool = False):
+    """Multi-host runtime init (reference ``tools/train_net_da.py:698-703``
+    init_process_group). jax.distributed discovers coordinator/process
+    ids from the TPU/cluster environment; enabled via --distributed or
+    SCAN_TPU_DISTRIBUTED=1. No-op (with a warning) if discovery fails or
+    it was already initialised."""
+    import logging
+    import os
+
+    if not (enable or os.environ.get("SCAN_TPU_DISTRIBUTED") == "1"):
+        return
+    try:
+        jax.distributed.initialize()
+    except Exception as e:
+        logging.getLogger("scan_tpu.mesh").warning(
+            "jax.distributed.initialize failed/skipped: %s", e
+        )
+
+
 def make_mesh(dp: int = -1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if dp == -1:

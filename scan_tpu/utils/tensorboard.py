@@ -22,7 +22,9 @@ class TensorboardLogger:
         except Exception as e:  # pragma: no cover
             logger.warning("tensorboard unavailable: %s", e)
 
-    def log_scalars(self, step: int, **scalars):
+    def log_scalars(self, scalars: dict, step: int):
+        """Same scalar set as the reference's TensorboardLogger.update
+        (metric_logger.py:93-106: every loss term + time/data each window)."""
         if self._writer is None:
             return
         with self._writer.as_default():

@@ -147,3 +147,19 @@ def test_fbnet_trunk_and_builder():
     model = build_backbone(cfg)
     feats = model.apply(model.init(jax.random.PRNGKey(0), x), x)
     assert len(feats) == 5 and feats[0].shape == (1, 8, 12, 256)
+
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    """--use-tensorboard wiring: log_scalars produces an events file
+    (reference utils/metric_logger.py:71-106 TensorboardLogger)."""
+    from scan_tpu.utils.tensorboard import TensorboardLogger
+
+    tb = TensorboardLogger(str(tmp_path))
+    tb.log_scalars({"loss_total": 1.5, "val/AP50": 0.3}, step=20)
+    tb.flush()
+    if tb._writer is None:  # backend unavailable in this env
+        return
+    import os
+
+    files = os.listdir(str(tmp_path))
+    assert any("tfevents" in f for f in files), files

@@ -1,0 +1,85 @@
+"""w8a8 int8 inference path (ops/quant.py + Conv(quant=True)).
+
+Accuracy gates for TPU.INT8_INFERENCE: the int8 conv must track the f32
+conv within quantization noise, and the full quantized backbone+head must
+reproduce the fp head outputs to high fidelity over the same param tree.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scan_tpu.ops.quant import int8_conv, quantize_activation, quantize_weight
+
+
+def test_quantize_roundtrip_scales():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32) * 0.05)
+    w_q, s = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and s.shape == (32,)
+    deq = w_q.astype(jnp.float32) * s
+    assert float(jnp.abs(deq - w).max()) <= float(s.max()) * 0.5 + 1e-7
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32) * 3)
+    x_q, sx = quantize_activation(x)
+    deq = x_q.astype(jnp.float32) * sx
+    assert float(jnp.abs(deq - x).max()) <= float(sx) * 0.5 + 1e-6
+
+
+def test_int8_conv_close_to_f32():
+    from jax import lax
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 32, 64).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.01)
+
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=lax.conv_dimension_numbers(x.shape, w.shape,
+                                                     ("NHWC", "HWIO", "NHWC")),
+    ) + b
+    got = int8_conv(x, w, b, padding=((1, 1), (1, 1)))
+    scale = float(jnp.abs(ref).max())
+    err = float(jnp.abs(got - ref).max()) / scale
+    assert err < 0.02, f"int8 conv relative error {err:.4f}"
+
+
+@pytest.mark.slow
+def test_int8_head_outputs_track_fp():
+    """Quantized backbone+head over the SAME params: logits/regression maps
+    must correlate >0.99 with the fp path."""
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.modeling.detector import build_detector
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "VGG-16-FPN-RETINANET"
+    cfg.MODEL.RETINANET.USE_C5 = False
+    cfg.MODEL.FCOS.NUM_CLASSES = 9
+    cfg.MODEL.MIDDLE_HEAD.CONDGRAPH_ON = False
+    cfg.MODEL.DA_ON = False
+    cfg.TPU.INT8_INFERENCE = True
+    det = build_detector(cfg)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    params, proto = det.init_params(jax.random.PRNGKey(0), images)
+
+    feats_fp = det.backbone.apply(params["backbone"], images)
+    feats_q = det.backbone_inf.apply(params["backbone"], images)
+    for f_fp, f_q in zip(feats_fp, feats_q):
+        a = np.asarray(f_fp, np.float64).ravel()
+        b = np.asarray(f_q, np.float64).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        cos = float(a @ b / denom) if denom > 0 else 1.0
+        assert cos > 0.99, f"backbone cosine {cos:.4f}"
+
+    lg_fp, rg_fp, ct_fp = det.fcos_head.apply(params["fcos"], list(feats_fp))
+    lg_q, rg_q, ct_q = det.head_inf.apply(params["fcos"], list(feats_q))
+    for a, b in zip(lg_fp + rg_fp + ct_fp, lg_q + rg_q + ct_q):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        cos = float(a @ b / denom) if denom > 0 else 1.0
+        assert cos > 0.99, f"head cosine {cos:.4f}"

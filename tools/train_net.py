@@ -14,17 +14,24 @@ import jax.numpy as jnp
 def main():
     parser = argparse.ArgumentParser(description="SCAN-TPU plain training")
     parser.add_argument("--config-file", required=True)
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize before device query",
+    )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
 
     from scan_tpu.config import get_default_cfg
     from scan_tpu.data.build import make_data_loader_train
-    from scan_tpu.engine.train_step import make_source_only_train_step
+    from scan_tpu.engine.dp import build_source_only_train_step
     from scan_tpu.engine.trainer import do_train_plain
     from scan_tpu.modeling.detector import build_detector
+    from scan_tpu.parallel.mesh import make_mesh, maybe_init_distributed, replicate
     from scan_tpu.solver.build import make_optimizer
     from scan_tpu.utils.checkpoint import Checkpointer
     from scan_tpu.utils.logger import setup_logger
+
+    maybe_init_distributed(args.distributed)
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config_file)
@@ -53,7 +60,15 @@ def main():
         cfg.MODEL.WEIGHT if not cfg.MODEL.WEIGHT.startswith("http") else "",
         params, proto_state, opt_state,
     )
-    step = make_source_only_train_step(detector, optimizer)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.SOLVER.IMS_PER_BATCH % n_dev == 0:
+        mesh = make_mesh()
+        logger.info("data-parallel mesh over %d devices", n_dev)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        proto_state = replicate(mesh, proto_state)
+    step = build_source_only_train_step(detector, optimizer, mesh=mesh)
     do_train_plain(cfg, detector, step, params, opt_state, proto_state,
                    loader, checkpointer, start_iter)
 

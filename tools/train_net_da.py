@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--test-only", action="store_true")
     parser.add_argument("--use-tensorboard", action="store_true")
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize before device query",
+    )
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
 
@@ -34,13 +38,16 @@ def main():
         make_data_loader_target,
         make_data_loader_test,
     )
-    from scan_tpu.engine.train_step import make_da_train_step
+    from scan_tpu.engine.dp import build_da_train_step
     from scan_tpu.engine.trainer import do_train_da
     from scan_tpu.engine.inference import inference
     from scan_tpu.modeling.detector import build_detector
+    from scan_tpu.parallel.mesh import make_mesh, maybe_init_distributed, replicate
     from scan_tpu.solver.build import make_optimizer
     from scan_tpu.utils.checkpoint import Checkpointer
     from scan_tpu.utils.logger import setup_logger
+
+    maybe_init_distributed(args.distributed)
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config_file)
@@ -80,18 +87,47 @@ def main():
 
     loader_val = make_data_loader_test(cfg)
 
+    # data-parallel mesh over every visible chip (reference wires DDP into
+    # this tool, train_net_da.py:421-515); batch stays global — shard_map
+    # splits it over 'dp', so IMS_PER_BATCH must divide evenly
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        if cfg.SOLVER.IMS_PER_BATCH % n_dev == 0:
+            mesh = make_mesh()
+            logger.info("data-parallel mesh over %d devices", n_dev)
+        else:
+            logger.warning(
+                "IMS_PER_BATCH=%d not divisible by %d devices; "
+                "running single-device", cfg.SOLVER.IMS_PER_BATCH, n_dev,
+            )
+
     if args.test_only:
-        results, _ = inference(detector, params, proto_state, loader_val)
+        results, _ = inference(detector, params, proto_state, loader_val,
+                               mesh=mesh)
         logger.info("test results: %s", dict(results))
         return
 
+    if mesh is not None:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        proto_state = replicate(mesh, proto_state)
+
+    tb_logger = None
+    if args.use_tensorboard:
+        from scan_tpu.utils.tensorboard import TensorboardLogger
+
+        tb_logger = TensorboardLogger(os.path.join(cfg.OUTPUT_DIR, "tb"))
+
     loader_tgt = make_data_loader_target(cfg)
-    train_step = make_da_train_step(detector, optimizer)
+    train_step = build_da_train_step(detector, optimizer, mesh=mesh)
     do_train_da(
         cfg, detector, train_step, params, opt_state, proto_state,
         loader_src, loader_tgt, loader_val, checkpointer,
-        start_iter=start_iter,
+        start_iter=start_iter, mesh=mesh, tb_logger=tb_logger,
     )
+    if tb_logger is not None:
+        tb_logger.flush()
 
 
 if __name__ == "__main__":
