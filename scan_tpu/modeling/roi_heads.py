@@ -142,7 +142,12 @@ def roi_box_losses(cfg: RoIBoxConfig, cls_logits, bbox_pred, proposals,
 
 def match_proposals(cfg: RoIBoxConfig, proposals, prop_valid, gt_boxes,
                     gt_labels, gt_mask):
-    """Second-stage target assignment (box_head/loss.py semantics)."""
+    """Second-stage target assignment (box_head/loss.py semantics).
+
+    Returns (matched_labels, reg_targets, matched_idx) — matched_idx is the
+    GT row each positive proposal matched (-1 for background/ignored), used
+    by the mask/keypoint branches to gather their targets.
+    """
 
     def one(props, pv, boxes, labels, mask):
         ious = box_iou(props, boxes, plus_one=True) * mask[None, :]
@@ -154,7 +159,8 @@ def match_proposals(cfg: RoIBoxConfig, proposals, prop_valid, gt_boxes,
         cls = jnp.where(matches == -2, -1, cls)
         matched_boxes = jnp.take(boxes, jnp.maximum(matches, 0), axis=0)
         reg = encode_boxes(matched_boxes, props, cfg.bbox_reg_weights)
-        return cls.astype(jnp.int32), reg
+        idx = jnp.where(cls > 0, jnp.maximum(matches, 0), -1)
+        return cls.astype(jnp.int32), reg, idx.astype(jnp.int32)
 
     return jax.vmap(one)(proposals, prop_valid, gt_boxes, gt_labels, gt_mask)
 
@@ -324,6 +330,77 @@ class RoIKeypointHead(nn.Module):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
         return x.astype(jnp.float32)
+
+
+def keypoints_to_heatmap(keypoints, rois, heatmap_size):
+    """Project (N, K, 3) [x, y, vis] keypoints into each ROI's heatmap grid.
+
+    Returns (targets (N, K) int32 flat ``y*S+x`` cell index, valid (N, K)
+    float) — reference ``structures/keypoint.py:154-184``
+    (keypoints_to_heat_map): floor-discretised, boundary-clamped to S-1,
+    valid = in-grid AND visibility > 0.
+    """
+    keypoints = jnp.asarray(keypoints, jnp.float32)
+    rois = jnp.asarray(rois, jnp.float32)
+    offset = rois[:, None, :2]
+    wh = rois[:, 2:] - rois[:, :2]
+    scale = heatmap_size / jnp.maximum(wh, 1e-6)[:, None, :]
+    xy = jnp.floor((keypoints[..., :2] - offset) * scale)
+    # points exactly on the max boundary land in the last cell
+    on_edge = keypoints[..., :2] == rois[:, None, 2:]
+    xy = jnp.where(on_edge, heatmap_size - 1, xy)
+    in_grid = jnp.all((xy >= 0) & (xy < heatmap_size), axis=-1)
+    vis = keypoints[..., 2] > 0
+    xy = jnp.clip(xy, 0, heatmap_size - 1).astype(jnp.int32)
+    targets = xy[..., 1] * heatmap_size + xy[..., 0]
+    return targets, (in_grid & vis).astype(jnp.float32)
+
+
+def roi_keypoint_decode(heatmaps, rois):
+    """Heatmaps -> continuous image-space keypoints.
+
+    heatmaps (N, H, W, K) logits, rois (N, 4) xyxy. Returns
+    (xy_preds (N, K, 3) [x, y, 1], scores (N, K) logit at the argmax).
+
+    Reference ``roi_heads/keypoint_head/inference.py:40-94``
+    (heatmaps_to_keypoints) resizes each ROI map to its pixel size with a
+    host cv2 INTER_CUBIC before the argmax — data-dependent shapes that
+    cannot compile. TPU-native: argmax on the fixed grid, quadratic
+    (Taylor) sub-cell refinement from the argmax's neighbours, then the
+    same Heckbert +0.5 center-of-cell mapping back to image coordinates.
+    Agrees with the reference up to sub-cell interpolation (PARITY.md).
+    """
+    heatmaps = jnp.asarray(heatmaps, jnp.float32)
+    rois = jnp.asarray(rois, jnp.float32)
+    n, h, w, k = heatmaps.shape
+    flat = heatmaps.reshape(n, h * w, k)
+    pos = jnp.argmax(flat, axis=1)  # (N, K)
+    scores = jnp.take_along_axis(flat, pos[:, None, :], axis=1)[:, 0, :]
+    x_int = pos % w
+    y_int = pos // w
+
+    # quadratic refinement: offset = 0.5 * (f(+1) - f(-1)) / (f(+1) - 2f(0) + f(-1))
+    def _at(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take_along_axis(
+            flat, (yy * w + xx)[:, None, :], axis=1
+        )[:, 0, :]
+
+    f0 = scores
+    fxp, fxm = _at(y_int, x_int + 1), _at(y_int, x_int - 1)
+    fyp, fym = _at(y_int + 1, x_int), _at(y_int - 1, x_int)
+    dx = 0.5 * (fxp - fxm) / jnp.maximum(jnp.abs(fxp - 2 * f0 + fxm), 1e-6)
+    dy = 0.5 * (fyp - fym) / jnp.maximum(jnp.abs(fyp - 2 * f0 + fym), 1e-6)
+    # interior argmax guarantees |offset| <= 0.5; clamp for edge cells
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+
+    wh = jnp.maximum(rois[:, 2:] - rois[:, :2], 1.0)  # (N, 2)
+    x = (x_int + 0.5 + dx) * (wh[:, None, 0] / w) + rois[:, None, 0]
+    y = (y_int + 0.5 + dy) * (wh[:, None, 1] / h) + rois[:, None, 1]
+    xy_preds = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return xy_preds, scores
 
 
 def roi_keypoint_loss(heatmaps, kp_targets, kp_valid):

@@ -109,6 +109,101 @@ def test_generalized_rcnn_end_to_end():
     assert np.all(np.isfinite(np.asarray(out["scores"])))
 
 
+def test_keypoints_to_heatmap_semantics():
+    """Floor discretisation, boundary-to-last-cell, valid = in-grid & vis
+    (reference structures/keypoint.py:154-184)."""
+    from scan_tpu.modeling.roi_heads import keypoints_to_heatmap
+
+    rois = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    kp = jnp.asarray([[
+        [2.5, 5.0, 2],    # interior, visible
+        [10.0, 10.0, 1],  # exactly on max boundary -> last cell
+        [3.0, 3.0, 0],    # not visible
+        [12.0, 3.0, 1],   # outside roi -> invalid
+    ]])
+    t, v = keypoints_to_heatmap(kp, rois, 4)
+    t, v = np.asarray(t), np.asarray(v)
+    # scale = 4/10 = 0.4: (2.5, 5.0) -> (1, 2) -> 2*4+1 = 9
+    assert t[0, 0] == 9
+    assert t[0, 1] == 4 * 4 - 1  # last cell
+    np.testing.assert_array_equal(v[0], [1, 1, 0, 0])
+
+
+def test_roi_keypoint_decode_recovers_peak():
+    """A synthetic heatmap peak decodes to the cell's image-space center."""
+    from scan_tpu.modeling.roi_heads import roi_keypoint_decode
+
+    h = w = 8
+    rois = jnp.asarray([[10.0, 20.0, 42.0, 52.0]])  # 32x32 roi
+    hm = np.full((1, h, w, 2), -5.0, np.float32)
+    hm[0, 2, 5, 0] = 3.0   # kp0 peak at (y=2, x=5)
+    hm[0, 6, 1, 1] = 4.0   # kp1 peak at (y=6, x=1)
+    xy, scores = roi_keypoint_decode(jnp.asarray(hm), rois)
+    xy = np.asarray(xy)
+    # cell size = 32/8 = 4; center of (x=5) = (5+0.5)*4 + 10 = 32
+    np.testing.assert_allclose(xy[0, 0, 0], 32.0, atol=2.0)
+    np.testing.assert_allclose(xy[0, 0, 1], 20 + 2.5 * 4, atol=2.0)
+    np.testing.assert_allclose(xy[0, 1, 0], 10 + 1.5 * 4, atol=2.0)
+    np.testing.assert_allclose(xy[0, 1, 1], 20 + 6.5 * 4, atol=2.0)
+    assert np.asarray(scores)[0, 0] == pytest.approx(3.0)
+    assert np.asarray(scores)[0, 1] == pytest.approx(4.0)
+
+
+@pytest.mark.slow
+def test_mask_keypoint_rcnn_end_to_end():
+    """MASK_ON + KEYPOINT_ON branches train and decode (reference
+    roi_heads/roi_heads.py:14-49 three-branch combination)."""
+    from scan_tpu.modeling.generalized_rcnn import FasterRCNN
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+    cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    cfg.MODEL.RPN.USE_FPN = True
+    cfg.MODEL.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 128
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 128
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 16
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 5
+    cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = 64
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS = (32, 32)
+    cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS = (32, 32)
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 17
+
+    model = FasterRCNN(cfg)
+    images = jnp.zeros((1, 64, 96, 3))
+    params = model.init_params(jax.random.PRNGKey(0), images)
+    assert "roi_mask" in params and "roi_keypoint" in params
+
+    g = 4
+    gt_masks = np.zeros((1, g, 64, 96), np.float32)
+    gt_masks[0, 0, 16:48, 16:48] = 1.0
+    gt_kp = np.zeros((1, g, 17, 3), np.float32)
+    gt_kp[0, 0, :, 0] = 30.0
+    gt_kp[0, 0, :, 1] = 30.0
+    gt_kp[0, 0, :, 2] = 2.0
+    targets = dict(
+        boxes=jnp.zeros((1, g, 4)).at[0, 0].set(jnp.asarray([8.0, 8, 56, 56])),
+        labels=jnp.zeros((1, g), jnp.int32).at[0, 0].set(3),
+        mask=jnp.zeros((1, g), bool).at[0, 0].set(True),
+        gt_masks=jnp.asarray(gt_masks),
+        gt_keypoints=jnp.asarray(gt_kp),
+    )
+    sizes = jnp.asarray([[64, 96]], jnp.int32)
+    losses = jax.jit(model.forward_train)(params, images, targets, sizes)
+    assert "loss_mask" in losses and "loss_kp" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    out = jax.jit(model.forward_inference)(params, images, sizes)
+    assert out["masks"].shape[0] == 1 and out["masks"].shape[2:] == (28, 28)
+    assert out["keypoints"].shape[-2:] == (17, 3)
+    assert out["keypoint_scores"].shape[-1] == 17
+    assert np.all(np.isfinite(np.asarray(out["keypoints"])))
+
+
 def test_roi_mask_head():
     from scan_tpu.modeling.roi_heads import RoIMaskConfig, RoIMaskHead, roi_mask_loss
 
