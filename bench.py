@@ -21,6 +21,54 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_PER_SEC = 300.0
 
 
+def bench_e2e(cfg):
+    """End-to-end eval throughput: DetectionLoader (PIL decode, resize,
+    normalize, fixed-shape batch, threaded prefetch) -> sharded/jitted
+    forward -> host-side decode of the masked outputs. BENCH_E2E=1."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from scan_tpu.data.build import DetectionLoader
+    from scan_tpu.data.datasets.coco import COCODataset
+    from scan_tpu.engine.inference import compute_predictions
+    from scan_tpu.modeling.detector import build_detector
+
+    n_images = int(os.environ.get("BENCH_E2E_IMAGES", "96"))
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(1, n_images + 1):
+        arr = rng.randint(0, 255, (1024, 2048, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"b{i}.png"))
+        images.append(dict(id=i, file_name=f"b{i}.png", height=1024, width=2048))
+        annotations.append(dict(id=i, image_id=i, category_id=1,
+                                bbox=[8, 8, 64, 64], area=4096, iscrowd=0))
+    ann = os.path.join(root, "ann.json")
+    with open(ann, "w") as f:
+        json.dump(dict(images=images, annotations=annotations,
+                       categories=[dict(id=1, name="car")]), f)
+
+    dataset = COCODataset(ann, img_dir)
+    loader = DetectionLoader(
+        dataset, cfg, is_train=False, batch_size=int(cfg.TEST.IMS_PER_BATCH),
+        num_threads=int(cfg.TPU.LOADER_THREADS),
+    )
+    det = build_detector(cfg)
+    H, W = loader.bucket_hw
+    sample = jnp.zeros((1, H, W, 3), jnp.float32)
+    params, proto = det.init_params(jax.random.PRNGKey(0), sample)
+    # warm (compile + loader threads)
+    compute_predictions(det, params, proto, loader, progress_every=0)
+    t0 = time.perf_counter()
+    preds = compute_predictions(det, params, proto, loader, progress_every=0)
+    dt = time.perf_counter() - t0
+    return len(preds) / dt
+
+
 def main():
     from scan_tpu.config import get_default_cfg
     from scan_tpu.modeling.detector import build_detector
@@ -39,6 +87,16 @@ def main():
         cfg.TPU.INT8_INFERENCE = True
     if os.environ.get("BENCH_MODE"):
         cfg.TEST.MODE = os.environ["BENCH_MODE"]
+    if os.environ.get("BENCH_E2E") == "1":
+        cfg.TEST.IMS_PER_BATCH = int(os.environ.get("BENCH_BATCH", "24"))
+        img_per_sec = bench_e2e(cfg)
+        print(json.dumps({
+            "metric": "fcos_vgg16_condgraph_e2e_eval_800x1333",
+            "value": round(img_per_sec, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        }))
+        return
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     h, w = 800, 1344  # 800x1333 padded to /32
 
@@ -51,6 +109,11 @@ def main():
         rng.randn(batch, h, w, 3).astype(np.float32) * 30 + 100
     )
     sizes = jnp.asarray([[800, 1333]] * batch, jnp.int32)
+
+    if cfg.TPU.INT8_INFERENCE:
+        # calibrate static activation scales on one batch (replaces the
+        # per-layer dynamic |x|max reduce passes)
+        params = det.calibrate_int8(params, proto, [batch_images])
 
     fwd = jax.jit(
         lambda p, s, im, sz: det.forward_inference(p, s, im, sz)

@@ -463,6 +463,10 @@ _C.TPU.DEBUG_NANS = False
 # w8a8 int8-MXU inference (backbone + FPN + head towers): ~2x the bf16
 # MXU rate on v5e. Inference path only; training always runs fp.
 _C.TPU.INT8_INFERENCE = False
+# Space-to-depth VGG stage 1 (exact numerics, same checkpoint layout):
+# per-row-phase lifted kernels fill the 128 MXU lanes the naive
+# 64-channel stem leaves half-empty, and the 2x2 pool becomes a phase-max.
+_C.TPU.S2D_STEM = True
 
 
 def get_default_cfg():

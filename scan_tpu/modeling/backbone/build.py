@@ -7,6 +7,7 @@ pyramid levels (P3..P7 for the *-FPN-RETINANET bodies).
 
 from typing import Optional
 
+import jax
 from flax import linen as nn
 
 from ...utils.registry import Registry
@@ -45,7 +46,16 @@ class _BackboneWithFPN(nn.Module):
 def build_vgg_fpn_backbone(cfg, dtype=None):
     return _BackboneWithFPN(
         body_cls=VGG16,
-        body_kwargs=dict(frozen_stages=2, with_bn=cfg.MODEL.BACKBONE.VGG_W_BN),
+        body_kwargs=dict(
+            frozen_stages=2,
+            with_bn=cfg.MODEL.BACKBONE.VGG_W_BN,
+            # numerics are exactly equal either way (tests/test_s2d_stem),
+            # so this is purely an execution-strategy choice: the packed
+            # stride-2 stem is a large win on the TPU MXU but compiles and
+            # runs poorly on the XLA:CPU backend used by the test mesh.
+            s2d_stage1=bool(cfg.TPU.S2D_STEM)
+            and jax.default_backend() != "cpu",
+        ),
         fpn_kwargs=dict(
             in_features=(2, 3, 4),
             out_channels=256,

@@ -46,6 +46,44 @@ FBNET_ARCHS = {
         ],
         "endpoints": (1, 2, 3, 4),
     },
+    # reference "xirb16d_dsmask": backbone stages 0-3 + the bbox stage as
+    # the C5 provider (same convention as 'default' above)
+    "xirb16d_dsmask": {
+        "first": (16, 2),
+        "stages": [
+            [("ir_k3", 1, 16, 1, 1)],
+            [("ir_k3", 6, 32, 2, 2)],
+            [("ir_k3", 6, 48, 3, 2)],
+            [("ir_k3", 6, 96, 4, 2), ("ir_k3", 6, 128, 3, 1)],
+            [("ir_k3", 4, 128, 1, 2), ("ir_k3", 6, 128, 2, 1),
+             ("ir_k3", 6, 160, 1, 1)],
+        ],
+        "endpoints": (1, 2, 3, 4),
+    },
+    # reference "cham_v1a" (Chameleon; mixed ir_k7/ir_k5/ir_k3 ops)
+    "cham_v1a": {
+        "first": (32, 2),
+        "stages": [
+            [("ir_k3", 1, 24, 1, 1)],
+            [("ir_k7", 4, 48, 2, 2)],
+            [("ir_k3", 7, 64, 5, 2)],
+            [("ir_k5", 12, 56, 7, 2), ("ir_k3", 8, 88, 5, 1)],
+            [("ir_k3", 7, 152, 4, 2), ("ir_k3", 10, 104, 1, 1)],
+        ],
+        "endpoints": (1, 2, 3, 4),
+    },
+    # reference "cham_v2"
+    "cham_v2": {
+        "first": (32, 2),
+        "stages": [
+            [("ir_k3", 1, 24, 1, 1)],
+            [("ir_k5", 8, 32, 4, 2)],
+            [("ir_k7", 5, 48, 6, 2)],
+            [("ir_k5", 9, 56, 3, 2), ("ir_k3", 6, 56, 6, 1)],
+            [("ir_k3", 2, 160, 6, 2), ("ir_k3", 6, 112, 1, 1)],
+        ],
+        "endpoints": (1, 2, 3, 4),
+    },
 }
 
 
@@ -87,6 +125,8 @@ class IRFBlock(nn.Module):
 
 
 def _op_kernel(op: str) -> int:
+    if op.startswith("ir_k7"):
+        return 7
     return 5 if op.startswith("ir_k5") else 3
 
 

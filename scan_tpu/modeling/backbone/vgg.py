@@ -32,32 +32,29 @@ def _s2d(x):
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
-def _s2d_tap_index(r: int):
-    """Full-res offset r in [-1, 2] -> (s2d cell offset, phase)."""
-    return (r + 2) // 2 - 1, r % 2
+def _phase_packed_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """Lift a full-res 3x3 stride-1 kernel (3,3,Cin,Cout) to a stride-2
+    (4,4,Cin,4*Cout) kernel whose output channel (qy*2+qx)*Cout+co is the
+    full-res output pixel (2i+qy, 2j+qx) — i.e. the conv output arrives
+    already space-to-depth packed.
 
-
-def _s2d_conv_weight(w: jnp.ndarray) -> jnp.ndarray:
-    """Lift a full-res 3x3 stride-1 kernel (3,3,Cin,Cout) to the
-    space-to-depth domain: a 3x3 kernel over s2d cells mapping
-    (4*Cin) -> (4*Cout), computing all four output phases at once.
-
-    Index math: output phase (p, q); tap (du, dv); full-res input offset
-    ry = p + du - 1 lands in s2d cell (ry+2)//2 - 1 with row-phase ry % 2.
+    Output phase (qy, qx) reads full-res taps (2i+qy+du-1, 2j+qx+dv-1),
+    du,dv in 0..2; the stride-2 conv window covers rows 2i-1..2i+2, so tap
+    index = phase + du. 7/16 of the lifted taps are structural zeros
+    (9 useful of 16 per phase -> 1.78x the naive FLOPs), but the 4*Cout
+    output channels fill the 128 MXU lanes the 64-channel naive conv
+    leaves half-empty (~190 vs ~70 TF/s measured on v5e), and the
+    trailing 2x2 max-pool collapses into a channel-slice max that fuses
+    into the conv epilogue instead of a full extra HBM pass.
     """
     kh, kw, cin, cout = w.shape
-    ws = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
-    for p in range(2):
-        for q in range(2):
-            for du in range(kh):
-                for dv in range(kw):
-                    di, py = _s2d_tap_index(p + du - 1)
-                    dj, px = _s2d_tap_index(q + dv - 1)
-                    ws = ws.at[
-                        di + 1, dj + 1,
-                        (py * 2 + px) * cin : (py * 2 + px + 1) * cin,
-                        (p * 2 + q) * cout : (p * 2 + q + 1) * cout,
-                    ].add(w[du, dv])
+    ws = jnp.zeros((kh + 1, kw + 1, cin, 4 * cout), w.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            c0 = (qy * 2 + qx) * cout
+            ws = ws.at[
+                qy:qy + kh, qx:qx + kw, :, c0:c0 + cout
+            ].add(w)
     return ws
 
 
@@ -87,11 +84,11 @@ class _ConvParamProxy(nn.Module):
 class VGG16(nn.Module):
     frozen_stages: int = 2
     with_bn: bool = False
-    # Space-to-depth stage 1 (exact numerics, same params). Measured on
-    # v5e: the lifted 3x3-over-s2d kernel spans a 6x6 full-res window (44%
-    # structural zeros), which cancels the channel-padding win — 90 vs 96
-    # img/s — so the naive stem stays the default. Kept as an option and a
-    # building block for a future s2d+pruned variant.
+    # Space-to-depth stage 1 (exact numerics, same params), config knob
+    # TPU.S2D_STEM. v2 lifts the two 3x3 convs into per-row-phase (2,3)-cell
+    # kernels (4/3 the FLOPs instead of v1's 4x 3x3-cell lift) with
+    # 128-channel outputs that fill the MXU lanes, and folds the 2x2
+    # max-pool into a phase-max.
     s2d_stage1: bool = False
     dtype: Optional[object] = None
     quant: bool = False
@@ -127,10 +124,13 @@ class VGG16(nn.Module):
         return tuple(outs)
 
     def _stage1_s2d(self, x):
-        """conv0 -> relu -> conv1 -> relu -> pool2x2, computed on the
-        space-to-depth grid. Parameters are declared at the SAME tree paths
-        as the naive stem (conv0/Conv_0/..., conv1/Conv_0/...) so torch
-        checkpoints and the naive path are interchangeable."""
+        """conv0 -> relu -> conv1 -> relu -> pool2x2 with conv1 as a
+        phase-packed stride-2 conv (exact numerics; see
+        _phase_packed_weight). conv0 stays naive — it is HBM-bound on its
+        full-res 64-channel output either way. Parameters are declared at
+        the SAME tree paths as the naive stem (conv0/Conv_0/...,
+        conv1/Conv_0/...) so torch checkpoints and the naive path are
+        interchangeable."""
         ch = VGG16_STAGE_CHANNELS[0]
         k0, b0_raw = _ConvParamProxy(
             (3, 3, x.shape[-1], ch), name="conv0"
@@ -138,22 +138,45 @@ class VGG16(nn.Module):
         k1, b1_raw = _ConvParamProxy((3, 3, ch, ch), name="conv1")()
 
         dt = self.dtype or x.dtype
-        xs = _s2d(x).astype(dt)
-        ws0 = _s2d_conv_weight(k0).astype(dt)
-        b0 = jnp.tile(b0_raw, 4).astype(dt)
-        y = jax.lax.conv_general_dilated(
-            xs, ws0, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b0
+        x = x.astype(dt)
+        y = self._stem_conv("conv0_act", x, k0.astype(dt),
+                            b0_raw.astype(dt), stride=1)
         y = nn.relu(y)
-        ws1 = _s2d_conv_weight(k1).astype(dt)
-        b1 = jnp.tile(b1_raw, 4).astype(dt)
-        y = jax.lax.conv_general_dilated(
-            y, ws1, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b1
-        y = nn.relu(y)
-        # 2x2 max-pool == max over the four phases per s2d cell
-        b_, h_, w_, _ = y.shape
-        y = y.reshape(b_, h_, w_, 4, VGG16_STAGE_CHANNELS[0])
-        return jnp.max(y, axis=3)
+        w1 = _phase_packed_weight(k1).astype(dt)
+        z = self._stem_conv("conv1_act", y, w1,
+                            jnp.tile(b1_raw.astype(dt), 4), stride=2)
+        # 2x2 max-pool == max over the four phase slices of the packed
+        # output; relu commutes with max so it is applied once, after.
+        m = jnp.maximum(
+            jnp.maximum(z[..., :ch], z[..., ch:2 * ch]),
+            jnp.maximum(z[..., 2 * ch:3 * ch], z[..., 3 * ch:]),
+        )
+        return nn.relu(m)
+
+    def _stem_conv(self, scale_name, x, w, b, stride):
+        """fp conv, or w8a8 int8 conv when ``quant`` — with the same
+        static-activation-scale calibration protocol as layers.Conv."""
+        if not self.quant:
+            return jax.lax.conv_general_dilated(
+                x, w, (stride, stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+        from ...ops.quant import int8_conv
+
+        act_scale = None
+        calibrating = self.is_mutable_collection("act_scales")
+        if calibrating or self.has_variable("act_scales", scale_name):
+            sv = self.variable(
+                "act_scales", scale_name,
+                lambda: jnp.zeros((), jnp.float32),
+            )
+            if calibrating:
+                sv.value = jnp.maximum(
+                    sv.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            else:
+                act_scale = sv.value / 127.0
+        return int8_conv(
+            x, w, b, stride=stride, padding=((1, 1), (1, 1)),
+            out_dtype=x.dtype, act_scale=act_scale,
+        )

@@ -346,6 +346,49 @@ class SCANDetector:
         return losses
 
     # ------------------------------------------------------------------ #
+    def calibrate_int8(self, params, proto_state, image_batches):
+        """Populate static int8 activation scales by running the inference
+        path over calibration batches with the ``act_scales`` collections
+        mutable (each quantized Conv accumulates its running |x|max; see
+        modeling/layers.Conv). Returns params with the scales attached —
+        subsequent forward_inference calls then skip the per-batch amax
+        reduce entirely. No-op when TPU.INT8_INFERENCE is off."""
+        if not self.int8_inference:
+            return params
+        bb_vars = dict(params["backbone"])
+        fc_vars = dict(params["fcos"])
+
+        @jax.jit
+        def step(bb_vars, fc_vars, proto, images):
+            x = self._prep_images(images)
+            feats, bb_up = self.backbone_inf.apply(
+                bb_vars, x, mutable=["act_scales"]
+            )
+            feats = list(feats)
+            if self.condgraph_on:
+                feats, _, _, _ = self.middle_head.apply(
+                    params["middle_head"], feats, proto, "inference"
+                )
+            if self.atss_on:
+                _, fc_up = self.head_inf.apply(
+                    fc_vars, feats, mutable=["act_scales"]
+                )
+            else:
+                _, fc_up = self.head_inf.apply(
+                    fc_vars, feats, self.test_mode != "light",
+                    mutable=["act_scales"],
+                )
+            return bb_up, fc_up
+
+        for images in image_batches:
+            bb_up, fc_up = step(bb_vars, fc_vars, proto_state, images)
+            bb_vars = {**bb_vars, **dict(bb_up)}
+            fc_vars = {**fc_vars, **dict(fc_up)}
+        out = dict(params)
+        out["backbone"] = bb_vars
+        out["fcos"] = fc_vars
+        return out
+
     def forward_inference(self, params, proto_state, images, image_sizes):
         """Eval path (reference trainer.py foward_detector eval branch +
         fcos.py TEST.MODE mixing)."""

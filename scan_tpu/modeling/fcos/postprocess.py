@@ -88,8 +88,10 @@ def _postprocess_single(cfg: PostProcessConfig, locations, box_cls_levels,
             axis=1,
         )
         if cfg.min_size > 0:
-            v = v & ((b[:, 2] - b[:, 0]) >= cfg.min_size) & (
-                (b[:, 3] - b[:, 1]) >= cfg.min_size
+            # '+1' width convention (reference boxlist_ops.py:59-71
+            # remove_small_boxes goes through the xywh TO_REMOVE=1 convert)
+            v = v & ((b[:, 2] - b[:, 0] + 1) >= cfg.min_size) & (
+                (b[:, 3] - b[:, 1] + 1) >= cfg.min_size
             )
         all_boxes.append(b)
         all_scores.append(s)

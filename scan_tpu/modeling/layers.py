@@ -83,9 +83,26 @@ class Conv(nn.Module):
                 name="Conv_0",
             )()
             p = self.kernel_size // 2
+            # Static activation scales: a calibration pass (apply with
+            # mutable=["act_scales"], see SCANDetector.calibrate_int8)
+            # accumulates each layer's running |x|max; afterwards the
+            # stored scale replaces the per-batch amax reduce.
+            act_scale = None
+            calibrating = self.is_mutable_collection("act_scales")
+            if calibrating or self.has_variable("act_scales", "amax"):
+                sv = self.variable(
+                    "act_scales", "amax",
+                    lambda: jnp.zeros((), jnp.float32),
+                )
+                if calibrating:
+                    sv.value = jnp.maximum(
+                        sv.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    )
+                else:
+                    act_scale = sv.value / 127.0
             return int8_conv(
                 x, k, b, stride=self.stride, padding=((p, p), (p, p)),
-                out_dtype=self.dtype or x.dtype,
+                out_dtype=self.dtype or x.dtype, act_scale=act_scale,
             )
         return nn.Conv(
             features=self.features,

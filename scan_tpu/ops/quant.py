@@ -32,10 +32,21 @@ def quantize_weight(w: jnp.ndarray):
     return w_q, scale
 
 
-def quantize_activation(x: jnp.ndarray):
-    """Per-tensor dynamic symmetric quantization -> (int8, f32 scale)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-8) / 127.0
+def quantize_activation(x: jnp.ndarray, act_scale=None):
+    """Per-tensor symmetric quantization -> (int8, f32 scale).
+
+    With ``act_scale`` (a calibrated static scalar, see
+    ``modeling/layers.Conv`` calibration) the |x|max reduce — a full extra
+    HBM pass over the activation, ~7% of e2e inference time measured — is
+    skipped, and the round/clip/cast chain becomes a pure elementwise op
+    XLA fuses into the producer's epilogue (the activation then lives in
+    HBM as int8: half the bf16 read+write traffic).
+    """
+    if act_scale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+    else:
+        scale = jnp.maximum(act_scale.astype(jnp.float32), 1e-8)
     x_q = jnp.clip(
         jnp.round(x.astype(jnp.float32) / scale), -127, 127
     ).astype(jnp.int8)
@@ -43,15 +54,16 @@ def quantize_activation(x: jnp.ndarray):
 
 
 def int8_conv(x, kernel, bias=None, stride: int = 1, padding="SAME",
-              out_dtype: Optional[object] = None):
+              out_dtype: Optional[object] = None, act_scale=None):
     """w8a8 conv: int32 MXU accumulation, f32 dequant epilogue (+bias).
 
     x: (B, H, W, Cin) float; kernel: (kh, kw, Cin, Cout) float (quantized
-    here, inside jit). Returns float (out_dtype or x.dtype).
+    here, inside jit). ``act_scale``: optional calibrated static activation
+    scale (see quantize_activation). Returns float (out_dtype or x.dtype).
     """
     out_dtype = out_dtype or x.dtype
     w_q, w_scale = quantize_weight(kernel)
-    x_q, x_scale = quantize_activation(x)
+    x_q, x_scale = quantize_activation(x, act_scale)
     acc = lax.conv_general_dilated(
         x_q, w_q, (stride, stride), padding,
         dimension_numbers=lax.conv_dimension_numbers(

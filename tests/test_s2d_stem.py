@@ -4,7 +4,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from scan_tpu.modeling.backbone.vgg import VGG16, _s2d, _s2d_conv_weight
+from scan_tpu.modeling.backbone.vgg import (
+    VGG16,
+    _phase_packed_weight,
+    _s2d,
+)
 
 
 def test_s2d_layout():
@@ -18,25 +22,32 @@ def test_s2d_layout():
     np.testing.assert_allclose(s[0, 0, 0, 9:12], x[0, 1, 1])
 
 
-def test_s2d_conv_weight_equivalence():
+def test_phase_packed_conv_equivalence():
+    """The stride-2 phase-packed conv reproduces the full-res 3x3 conv with
+    the output arriving space-to-depth packed."""
     rng = np.random.RandomState(0)
+    cout = 5
     x = jnp.asarray(rng.randn(1, 8, 12, 3), jnp.float32)
-    w = jnp.asarray(rng.randn(3, 3, 3, 5), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, cout), jnp.float32)
     want = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    ws = _s2d_conv_weight(w)
-    got_s = jax.lax.conv_general_dilated(
-        _s2d(x), ws, (1, 1), ((1, 1), (1, 1)),
+    wp = _phase_packed_weight(w)
+    assert wp.shape == (4, 4, 3, 4 * cout)
+    got = np.asarray(jax.lax.conv_general_dilated(
+        x, wp, (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    # undo s2d on the output: channel (p*2+q)*5+o at cell (i,j) is
-    # full-res pixel (2i+p, 2j+q)
-    b, hs, ws_, c4 = got_s.shape
-    got = got_s.reshape(b, hs, ws_, 2, 2, 5).transpose(0, 1, 3, 2, 4, 5)
-    got = got.reshape(b, hs * 2, ws_ * 2, 5)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    ))
+    # channel block (qy*2+qx) at cell (i, j) is full-res pixel (2i+qy, 2j+qx)
+    for qy in range(2):
+        for qx in range(2):
+            c0 = (qy * 2 + qx) * cout
+            np.testing.assert_allclose(
+                got[..., c0:c0 + cout],
+                np.asarray(want)[:, qy::2, qx::2, :],
+                atol=1e-4,
+            )
 
 
 def test_vgg_s2d_stem_matches_naive():
