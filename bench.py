@@ -81,9 +81,11 @@ def main():
         )
     )
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    # knobs: BENCH_INT8=1 -> w8a8 int8-MXU towers; BENCH_MODE=light/
-    # precision/hybrid -> TEST.MODE
-    if os.environ.get("BENCH_INT8") == "1":
+    # knobs: BENCH_INT8=0 -> disable the w8a8 int8-MXU towers (default on:
+    # calibrated static-scale int8 is the intended deployment inference
+    # mode, box-parity-gated by tests/test_quant.py; docs/perf/PERF.md);
+    # BENCH_MODE=light/precision/hybrid -> TEST.MODE
+    if os.environ.get("BENCH_INT8", "1") == "1":
         cfg.TPU.INT8_INFERENCE = True
     if os.environ.get("BENCH_MODE"):
         cfg.TEST.MODE = os.environ["BENCH_MODE"]

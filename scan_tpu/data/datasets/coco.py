@@ -85,12 +85,8 @@ class COCODataset:
         ]
 
     def load_image(self, index) -> np.ndarray:
-        from PIL import Image
-
         info = self.get_img_info(index)
-        path = os.path.join(self.root, info["file_name"])
-        with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"))
+        return _load_rgb(os.path.join(self.root, info["file_name"]))
 
     def get_raw_target(self, index):
         """Returns (boxes_xyxy float32 (n,4), labels int32 (n,)) in original
@@ -128,3 +124,20 @@ class COCODataset:
         boxes[:, 3] = np.clip(boxes[:, 3], 0, h - 1)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         return boxes[keep], labels[keep]
+
+
+def _load_rgb(path: str) -> "np.ndarray":
+    """Native (GIL-free) PNG/JPEG decode with PIL fallback."""
+    from ...native import decode_image
+
+    with open(path, "rb") as f:
+        data = f.read()
+    arr = decode_image(data)
+    if arr is not None:
+        return arr
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))

@@ -47,10 +47,7 @@ class VOCXmlDataset:
         return [c.strip() for c in self.CLASSES[1:]]
 
     def load_image(self, index) -> np.ndarray:
-        from PIL import Image
-
-        with Image.open(self._imgpath % self.ids[index]) as im:
-            return np.asarray(im.convert("RGB"))
+        return _load_rgb(self._imgpath % self.ids[index])
 
     def _parse(self, index):
         anno = ET.parse(self._annopath % self.ids[index]).getroot()
@@ -120,3 +117,20 @@ class KittiDataset(VOCXmlDataset):
     CLASSES = CAR_ONLY_CLASSES
     CLASS_FILTER = "car"
     IMG_EXT = ".png"
+
+
+def _load_rgb(path: str) -> "np.ndarray":
+    """Native (GIL-free) PNG/JPEG decode with PIL fallback."""
+    from ...native import decode_image
+
+    with open(path, "rb") as f:
+        data = f.read()
+    arr = decode_image(data)
+    if arr is not None:
+        return arr
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))

@@ -147,6 +147,9 @@ class VGG16(nn.Module):
                             jnp.tile(b1_raw.astype(dt), 4), stride=2)
         # 2x2 max-pool == max over the four phase slices of the packed
         # output; relu commutes with max so it is applied once, after.
+        # (A standalone Pallas kernel for this was measured SLOWER than
+        # XLA's fused slice-max — XLA fuses the requant for the next conv
+        # into the same pass; see docs/perf/PERF.md.)
         m = jnp.maximum(
             jnp.maximum(z[..., :ch], z[..., ch:2 * ch]),
             jnp.maximum(z[..., 2 * ch:3 * ch], z[..., 3 * ch:]),

@@ -146,11 +146,13 @@ class GraphTower(nn.Module):
     out_channels: int
     norm: Optional[str] = None  # 'GN' for the 'in' tower, None for 'out'
     dtype: Optional[Any] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = Conv(self.out_channels, 3, dtype=self.dtype, name=f"conv{i}")(x)
+            x = Conv(self.out_channels, 3, dtype=self.dtype,
+                     quant=self.quant, name=f"conv{i}")(x)
             if self.norm == "GN":
                 x = GroupNorm32(dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.relu(x)
@@ -200,17 +202,18 @@ class CondGraph(nn.Module):
 
     cfg: CondGraphConfig
     dtype: Optional[Any] = None
+    quant: bool = False
 
     def setup(self):
         c = self.cfg
         self.head_in = GraphTower(
             c.num_convs_in, c.in_channels, norm=c.in_norm, dtype=self.dtype,
-            name="head_in",
+            quant=self.quant, name="head_in",
         )
         if c.cat_act_map:
             self.head_out = GraphTower(
                 c.num_convs_out, c.in_channels, norm=None, dtype=self.dtype,
-                name="head_out",
+                quant=self.quant, name="head_out",
             )
         if c.global_gcn:
             self.multihead_attn = MultiHeadSelfAttention(

@@ -86,9 +86,16 @@ class SCANDetector:
         if self.int8_inference:
             self.backbone_inf = build_backbone(cfg, dtype=dtype, quant=True)
             self.head_inf = self.fcos_head.clone(quant=True)
+            self.middle_head_inf = (
+                self.middle_head.clone(quant=True)
+                if self.condgraph_on else None
+            )
         else:
             self.backbone_inf = self.backbone
             self.head_inf = self.fcos_head
+            self.middle_head_inf = (
+                self.middle_head if self.condgraph_on else None
+            )
         head_cfg = cfg.MODEL.ATSS if self.atss_on else cfg.MODEL.FCOS
         self.pp_cfg = PostProcessConfig(
             pre_nms_thresh=head_cfg.INFERENCE_TH,
@@ -357,18 +364,24 @@ class SCANDetector:
             return params
         bb_vars = dict(params["backbone"])
         fc_vars = dict(params["fcos"])
+        mh_vars = (
+            dict(params["middle_head"]) if self.condgraph_on else None
+        )
 
         @jax.jit
-        def step(bb_vars, fc_vars, proto, images):
+        def step(bb_vars, fc_vars, mh_vars, proto, images):
             x = self._prep_images(images)
             feats, bb_up = self.backbone_inf.apply(
                 bb_vars, x, mutable=["act_scales"]
             )
             feats = list(feats)
+            mh_up = {}
             if self.condgraph_on:
-                feats, _, _, _ = self.middle_head.apply(
-                    params["middle_head"], feats, proto, "inference"
+                out, mh_up = self.middle_head_inf.apply(
+                    mh_vars, feats, proto, "inference",
+                    mutable=["act_scales"],
                 )
+                feats = out[0]
             if self.atss_on:
                 _, fc_up = self.head_inf.apply(
                     fc_vars, feats, mutable=["act_scales"]
@@ -378,15 +391,21 @@ class SCANDetector:
                     fc_vars, feats, self.test_mode != "light",
                     mutable=["act_scales"],
                 )
-            return bb_up, fc_up
+            return bb_up, fc_up, mh_up
 
         for images in image_batches:
-            bb_up, fc_up = step(bb_vars, fc_vars, proto_state, images)
+            bb_up, fc_up, mh_up = step(
+                bb_vars, fc_vars, mh_vars, proto_state, images
+            )
             bb_vars = {**bb_vars, **dict(bb_up)}
             fc_vars = {**fc_vars, **dict(fc_up)}
+            if self.condgraph_on:
+                mh_vars = {**mh_vars, **dict(mh_up)}
         out = dict(params)
         out["backbone"] = bb_vars
         out["fcos"] = fc_vars
+        if self.condgraph_on:
+            out["middle_head"] = mh_vars
         return out
 
     def forward_inference(self, params, proto_state, images, image_sizes):
@@ -396,7 +415,7 @@ class SCANDetector:
         feats = list(self.backbone_inf.apply(params["backbone"], images))
         act_maps = None
         if self.condgraph_on:
-            feats, _, act_maps, _ = self.middle_head.apply(
+            feats, _, act_maps, _ = self.middle_head_inf.apply(
                 params["middle_head"], feats, proto_state, "inference"
             )
         shapes = [(f.shape[1], f.shape[2]) for f in feats]

@@ -30,7 +30,7 @@ _tried = False
 def _build():
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", _LIB_PATH, "-lpng", "-ljpeg", "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -70,6 +70,12 @@ def get_lib():
             lib.iou_matrix_xywh.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.decode_image.restype = ctypes.c_int
+            lib.decode_image.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
             ]
             _lib = lib
             logger.info("native library loaded: %s", _LIB_PATH)
@@ -148,4 +154,24 @@ def iou_matrix_xywh(det: np.ndarray, gt: np.ndarray,
         det.ctypes.data, det.shape[0], gt.ctypes.data, gt.shape[0],
         iscrowd.ctypes.data, out.ctypes.data,
     )
+    return out
+
+
+def decode_image(data: bytes):
+    """Decode PNG/JPEG bytes to an (h, w, 3) RGB uint8 array, or None if
+    the native library is unavailable or the format is unsupported (caller
+    falls back to PIL). Runs with the GIL released — PIL's PNG decode
+    holds it ~50-100 ms per 2MP frame, serialising loader threads."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.decode_image(data, len(data), None, ctypes.byref(h),
+                        ctypes.byref(w), 1) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.decode_image(data, len(data), out.ctypes.data, ctypes.byref(h),
+                        ctypes.byref(w), 0) != 0:
+        return None
     return out

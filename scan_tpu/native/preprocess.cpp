@@ -12,9 +12,15 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#include <cstdio>  // jpeglib.h needs FILE
+
+#include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -66,9 +72,126 @@ FilterTaps compute_taps(int in_size, int out_size) {
   return ft;
 }
 
+// ---------------------------------------------------------------------- //
+// In-memory PNG / JPEG decode (libpng / libjpeg). PIL's PNG decode holds
+// the GIL for ~50-100 ms per 1024x2048 frame, serialising the loader's
+// thread pool; these run entirely outside Python (ctypes releases the GIL
+// around the call), so TPU.LOADER_THREADS scales with cores.
+
+struct PngMemSrc {
+  const uint8_t* data;
+  size_t len;
+  size_t off;
+};
+
+void png_mem_read(png_structp p, png_bytep out, png_size_t n) {
+  PngMemSrc* s = static_cast<PngMemSrc*>(png_get_io_ptr(p));
+  if (s->off + n > s->len) png_error(p, "unexpected eof");
+  std::memcpy(out, s->data + s->off, n);
+  s->off += n;
+}
+
+// Decode PNG to RGB8. pass=0: probe dims only. Returns 0 on success.
+int png_decode(const uint8_t* data, size_t len, uint8_t* out, int* h,
+               int* w, int probe_only) {
+  png_structp p =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!p) return 1;
+  png_infop info = png_create_info_struct(p);
+  if (!info) {
+    png_destroy_read_struct(&p, nullptr, nullptr);
+    return 1;
+  }
+  if (setjmp(png_jmpbuf(p))) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return 1;
+  }
+  PngMemSrc src{data, len, 0};
+  png_set_read_fn(p, &src, png_mem_read);
+  // skip CRC validation on IDAT chunks (~20% of decode time; corrupt
+  // data still fails in zlib inflate)
+  png_set_crc_action(p, PNG_CRC_QUIET_USE, PNG_CRC_QUIET_USE);
+  png_read_info(p, info);
+  *h = static_cast<int>(png_get_image_height(p, info));
+  *w = static_cast<int>(png_get_image_width(p, info));
+  if (probe_only) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return 0;
+  }
+  const int color = png_get_color_type(p, info);
+  const int depth = png_get_bit_depth(p, info);
+  if (depth == 16) png_set_strip_16(p);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(p);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(p);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(p);
+  if (png_get_valid(p, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(p);
+  png_set_strip_alpha(p);
+  png_read_update_info(p, info);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y)
+    rows[y] = out + static_cast<size_t>(y) * (*w) * 3;
+  png_read_image(p, rows.data());
+  png_destroy_read_struct(&p, &info, nullptr);
+  return 0;
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(e->jmp, 1);
+}
+
+int jpeg_decode(const uint8_t* data, size_t len, uint8_t* out, int* h,
+                int* w, int probe_only) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  if (probe_only) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row =
+        out + static_cast<size_t>(cinfo.output_scanline) * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Probe/decode a PNG or JPEG byte buffer to RGB8. probe_only=1 fills only
+// (h, w). Returns 0 on success, nonzero on unsupported/corrupt data.
+int decode_image(const uint8_t* data, size_t len, uint8_t* out, int* h,
+                 int* w, int probe_only) {
+  if (len >= 8 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' &&
+      data[3] == 'G')
+    return png_decode(data, len, out, h, w, probe_only);
+  if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return jpeg_decode(data, len, out, h, w, probe_only);
+  return 2;
+}
 
 // Fused: resize (ih, iw, 3) uint8 RGB -> (oh, ow) and write normalized
 // float32 into dst (dh, dw, 3) zero-padded buffer.

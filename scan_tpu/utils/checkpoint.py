@@ -84,7 +84,29 @@ class Checkpointer:
             target["proto_counter"] = proto_state.counter
         if opt_state is not None and load_opt_sch:
             target["opt_state"] = opt_state
-        restored = self._ckptr.restore(path, target)
+        try:
+            restored = self._ckptr.restore(path, target)
+        except ValueError:
+            # Structure mismatch — typically restoring a training
+            # checkpoint (which carries opt_state) for evaluation, where
+            # no optimizer target exists (reference remove_solver_states
+            # workflow; tools/test_net.py). transforms={} makes the
+            # restore partial: on-disk keys missing from the target are
+            # dropped instead of raising.
+            ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+            restored = ckptr.restore(
+                path,
+                args=ocp.args.PyTreeRestore(
+                    item=target,
+                    transforms={},
+                    restore_args=(
+                        ocp.checkpoint_utils.construct_restore_args(target)
+                    ),
+                ),
+            )
+            logger.info(
+                "partial restore of %s (extra on-disk state ignored)", path
+            )
         params = restored["params"]
         if proto_state is not None:
             proto_state = ProtoState(

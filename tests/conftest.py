@@ -17,8 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the heavy DA-step/backbone graphs compile once
-# and re-load on subsequent test runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache for CPU tests. XLA:CPU cache
+# entries are AOT-compiled executables pinned to the build machine's CPU
+# features; reloading them on a host with different features (this
+# workspace migrates between heterogeneous machines) SIGABRTs the process
+# (cpu_aot_loader "machine type ... doesn't match" -> fatal). Observed as
+# sporadic aborts in test_multichip/test_dp_cli; cold-compiling is slower
+# but correct. The TPU cache (.jax_cache) is unaffected — its entries are
+# device binaries.

@@ -210,6 +210,7 @@ def test_adapt_atss_wired_from_cfg(tmp_path, monkeypatch):
     assert acfg2.adapt_topk is None
 
 
+@pytest.mark.slow
 def test_atss_postprocess_recovers_planted_box():
     import dataclasses
 

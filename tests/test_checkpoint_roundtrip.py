@@ -116,6 +116,7 @@ def _make_reference_ckpt(path):
     return ckpt
 
 
+@pytest.mark.slow
 def test_full_reference_checkpoint_loads(tmp_path):
     cfg = get_default_cfg()
     cfg.merge_from_file(C2F)
@@ -184,3 +185,40 @@ def test_full_reference_checkpoint_loads(tmp_path):
         jnp.asarray([[64, 96]], jnp.int32),
     )
     assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+
+@pytest.mark.slow
+def test_eval_partial_restore_of_training_checkpoint(tmp_path):
+    """A training checkpoint (with opt_state) restores for evaluation,
+    where no optimizer target exists — the extra on-disk state is dropped
+    (reference remove_solver_states workflow; tools/test_net.py)."""
+    import optax
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(C2F)
+    cfg.TPU.MAX_NODES = 32
+    cfg.TPU.MAX_TARGET_POINTS = 32
+    det = build_detector(cfg)
+    params, proto = det.init_params(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3))
+    )
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+    ck = Checkpointer(str(tmp_path / "train"), det)
+    path = ck.save("model_x", params, proto, opt_state, iteration=7)
+
+    # fresh eval-side checkpointer: no optimizer, different init
+    det2 = build_detector(cfg)
+    p2, pr2 = det2.init_params(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 96, 3))
+    )
+    ck2 = Checkpointer(str(tmp_path / "eval"), det2)
+    p3, pr3, _, it = ck2.load(path, p2, pr2, None, load_dis=False)
+    assert it == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p3)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(proto.prototype), np.asarray(pr3.prototype)
+    )

@@ -36,7 +36,6 @@ def test_train_net_da_cli_8dev(tmp_path):
         "'cityscapes_foggy_val_cocostyle': {'img_dir': 'val/images', 'ann_file': 'val/ann.json'},"
         "});"
         "import jax; jax.config.update('jax_platforms', 'cpu');"
-        f"jax.config.update('jax_compilation_cache_dir', r'{REPO}/.jax_cache_cpu');"
         "import runpy, sys;"
         "sys.argv = ['train_net_da.py', '--config-file', "
         f"r'{REPO}/configs/scan/scan_vgg16_cityscapace_to_foggy.yaml', "

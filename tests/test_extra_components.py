@@ -1,6 +1,7 @@
 """Tests for auxiliary components: deform conv, MobileNetV2, target-sampling
 variants, expected-results checker, ROI ops."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def test_deform_conv_integer_shift():
     np.testing.assert_allclose(got[:, :-1], want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_endpoints():
     from scan_tpu.modeling.backbone.mobilenet import MobileNetV2
 
@@ -52,6 +54,7 @@ def test_mobilenet_v2_endpoints():
     assert shapes == [(16, 24, 24), (8, 12, 32), (4, 6, 96), (2, 3, 320)]
 
 
+@pytest.mark.slow
 def test_mnv2_fpn_builder():
     from scan_tpu.config import get_default_cfg
     from scan_tpu.modeling.backbone.build import build_backbone
@@ -97,6 +100,7 @@ def test_density_cluster_keeps_secondary_blobs():
     assert keep[40]
 
 
+@pytest.mark.slow
 def test_sample_target_modes_run():
     rng = np.random.RandomState(4)
     feats = [jnp.asarray(rng.randn(1, 8, 10, 16), jnp.float32) for _ in range(2)]
@@ -149,6 +153,7 @@ def test_fbnet_trunk_and_builder():
     assert len(feats) == 5 and feats[0].shape == (1, 8, 12, 256)
 
 
+@pytest.mark.slow
 def test_tensorboard_logger_writes_events(tmp_path):
     """--use-tensorboard wiring: log_scalars produces an events file
     (reference utils/metric_logger.py:71-106 TensorboardLogger)."""

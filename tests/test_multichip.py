@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 

@@ -17,6 +17,8 @@ C2F = os.path.join(
     "scan_vgg16_cityscapace_to_foggy.yaml",
 )
 
+pytestmark = pytest.mark.slow  # full DA-step compiles dominate
+
 
 def tiny_cfg():
     cfg = get_default_cfg()

@@ -51,6 +51,15 @@ def main():
             cfg.MODEL.WEIGHT, params, proto_state, None, load_dis=False
         )
 
+    if cfg.TPU.INT8_INFERENCE:
+        # calibrate static activation scales on the first test batch
+        # (replaces per-batch dynamic |x|max reduces; docs/perf/PERF.md)
+        first = next(iter(loaders[0]))
+        params = detector.calibrate_int8(
+            params, proto_state, [first["images"]]
+        )
+        logger.info("int8: calibrated static activation scales")
+
     all_printable = {}
     for name, loader in zip(cfg.DATASETS.TEST, loaders):
         results, predictions = inference(detector, params, proto_state, loader)
