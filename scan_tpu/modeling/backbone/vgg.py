@@ -167,7 +167,10 @@ class VGG16(nn.Module):
         from ...ops.quant import int8_conv
 
         act_scale = None
-        calibrating = self.is_mutable_collection("act_scales")
+        calibrating = (
+            self.is_mutable_collection("act_scales")
+            and not self.is_initializing()
+        )
         if calibrating or self.has_variable("act_scales", scale_name):
             sv = self.variable(
                 "act_scales", scale_name,

@@ -88,7 +88,12 @@ class Conv(nn.Module):
             # accumulates each layer's running |x|max; afterwards the
             # stored scale replaces the per-batch amax reduce.
             act_scale = None
-            calibrating = self.is_mutable_collection("act_scales")
+            # not during init: every collection is mutable there, which
+            # would bake a zero scale into the initial params
+            calibrating = (
+                self.is_mutable_collection("act_scales")
+                and not self.is_initializing()
+            )
             if calibrating or self.has_variable("act_scales", "amax"):
                 sv = self.variable(
                     "act_scales", "amax",

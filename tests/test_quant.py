@@ -83,3 +83,33 @@ def test_int8_head_outputs_track_fp():
         denom = np.linalg.norm(a) * np.linalg.norm(b)
         cos = float(a @ b / denom) if denom > 0 else 1.0
         assert cos > 0.99, f"head cosine {cos:.4f}"
+
+
+def test_static_scale_calibration_matches_dynamic():
+    """Calibrating on a batch then running statically reproduces the
+    dynamic-quantization output exactly for that batch (same scale), and
+    the act_scales collection holds the running |x|max across batches."""
+    from scan_tpu.modeling.layers import Conv
+
+    rng = np.random.RandomState(2)
+    conv = Conv(8, 3, quant=True)
+    x1 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32) * 2.0)
+    variables = conv.init(jax.random.PRNGKey(0), x1)
+
+    y_dyn = conv.apply(variables, x2)
+
+    # calibration pass over both batches accumulates the running max
+    _, up = conv.apply(variables, x1, mutable=["act_scales"])
+    variables = {**variables, **up}
+    _, up = conv.apply(variables, x2, mutable=["act_scales"])
+    variables = {**variables, **up}
+    amax = float(jax.tree_util.tree_leaves(up["act_scales"])[0])
+    np.testing.assert_allclose(
+        amax, float(jnp.abs(x2).max()), rtol=1e-6
+    )
+
+    y_static = conv.apply(variables, x2)
+    np.testing.assert_allclose(
+        np.asarray(y_static), np.asarray(y_dyn), atol=1e-6
+    )
