@@ -7,6 +7,13 @@ reliable way to pin tests to CPU."""
 
 import os
 
+# torch and jax share one process in the parity/conversion tests; their
+# OpenMP runtimes sporadically SIGABRT long-lived multi-program processes
+# unless thread pools are pinned down (single-core host anyway).
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+os.environ.setdefault("KMP_DUPLICATE_LIB_OK", "TRUE")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

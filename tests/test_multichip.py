@@ -15,11 +15,32 @@ import pytest
 
 @pytest.mark.slow
 def test_dryrun_multichip_8():
-    import __graft_entry__ as ge
+    """Runs in a fresh subprocess — the same way the driver invokes it.
+    (In a long-lived pytest process that has already executed dozens of
+    XLA:CPU programs, the 8-device shard_map program sporadically
+    SIGABRTs inside XLA; a fresh process is the supported configuration
+    and what the driver actually does.)"""
+    import os
+    import subprocess
+    import sys
 
-    n = min(8, len(jax.devices()))
-    assert n == 8, f"conftest should give 8 cpu devices, got {jax.devices()}"
-    ge.dryrun_multichip(8)
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, r'%s');"
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8);"
+         "print('DRYRUN_OK')" % repo],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=3000,
+    )
+    assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
+    assert "DRYRUN_OK" in out.stdout
 
 
 @pytest.mark.slow
