@@ -99,7 +99,8 @@ def main():
             "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
         }))
         return
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    # batch 32 measured fastest on v5e-1 (24 -> 140 img/s, 32 -> 170, 48 OOM)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     h, w = 800, 1344  # 800x1333 padded to /32
 
     det = build_detector(cfg)
