@@ -32,19 +32,35 @@ def test_dryrun_multichip_8():
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
-    out = subprocess.run(
+    out = _run_with_abort_retry(
         [sys.executable, "-c",
          "import sys; sys.path.insert(0, r'%s');"
          "import __graft_entry__ as ge; ge.dryrun_multichip(8);"
          "print('DRYRUN_OK')" % repo],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=3000,
+        env=env, cwd=repo,
     )
     assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
     assert "DRYRUN_OK" in out.stdout
 
 
-@pytest.mark.slow
-def test_dp_step_matches_single_device():
+def _run_with_abort_retry(cmd, env, cwd):
+    """Run the child once; retry exactly once if it died on SIGABRT/SIGSEGV.
+    This box's XLA:CPU sporadically aborts 8-virtual-device programs (an
+    environment flake, not a product bug — see conftest.py); an assertion
+    failure (returncode 1) is never retried."""
+    import subprocess
+
+    out = subprocess.run(cmd, env=env, cwd=cwd, capture_output=True,
+                         text=True, timeout=3000)
+    if out.returncode in (-6, -11, 134, 139):
+        out = subprocess.run(cmd, env=env, cwd=cwd, capture_output=True,
+                             text=True, timeout=3000)
+    return out
+
+
+def _dp_equivalence_main():
+    """Body of the dp-equivalence check; run in a fresh process (see
+    test_dp_step_matches_single_device for why)."""
     import __graft_entry__ as ge
     from scan_tpu.engine.dp import build_da_train_step
     from scan_tpu.modeling.detector import build_detector
@@ -102,3 +118,33 @@ def test_dp_step_matches_single_device():
     # loss metrics agree (pmean of identical replicas)
     assert abs(float(m1["loss_total"]) - float(mN["loss_total"])) < 1e-4
     print(f"dp equivalence worst param diff: {worst:.2e}")
+    print("DP_EQUIV_OK")
+
+
+@pytest.mark.slow
+def test_dp_step_matches_single_device():
+    """Fresh-subprocess wrapper — the 8-device XLA:CPU program sporadically
+    SIGABRTs when run inside a pytest process that has already executed
+    many programs (same pattern as the dryrun test above)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    out = _run_with_abort_retry(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, r'%s');"
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from tests.test_multichip import _dp_equivalence_main;"
+         "_dp_equivalence_main()" % repo],
+        env=env, cwd=repo,
+    )
+    assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
+    assert "DP_EQUIV_OK" in out.stdout
