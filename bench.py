@@ -61,6 +61,12 @@ def bench_e2e(cfg):
     H, W = loader.bucket_hw
     sample = jnp.zeros((1, H, W, 3), jnp.float32)
     params, proto = det.init_params(jax.random.PRNGKey(0), sample)
+    if cfg.TPU.INT8_INFERENCE:
+        # calibrate static activation scales on the first batch so the
+        # e2e metric measures the same deployment mode as the synthetic
+        # bench and tools/test_net.py (not the dynamic per-batch path)
+        first = next(iter(loader))
+        params = det.calibrate_int8(params, proto, [first["images"]])
     # warm (compile + loader threads)
     compute_predictions(det, params, proto, loader, progress_every=0)
     t0 = time.perf_counter()

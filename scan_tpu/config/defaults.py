@@ -463,10 +463,17 @@ _C.TPU.DEBUG_NANS = False
 # w8a8 int8-MXU inference (backbone + FPN + head towers): ~2x the bf16
 # MXU rate on v5e. Inference path only; training always runs fp.
 _C.TPU.INT8_INFERENCE = False
+# Batches used to calibrate the static int8 activation scales (per test
+# dataset; see tools/test_net.py).
+_C.TPU.INT8_CALIB_BATCHES = 8
 # Space-to-depth VGG stage 1 (exact numerics, same checkpoint layout):
 # per-row-phase lifted kernels fill the 128 MXU lanes the naive
 # 64-channel stem leaves half-empty, and the 2x2 pool becomes a phase-max.
 _C.TPU.S2D_STEM = True
+# Divide every VGG stage width by this (floor 8). 1 = the real VGG-16
+# (checkpoint-compatible). >1 shrinks the backbone through the identical
+# code paths — used by compile/sharding dryruns on weak CPU hosts.
+_C.TPU.VGG_WIDTH_DIV = 1
 
 
 def get_default_cfg():

@@ -9,12 +9,14 @@ from .build import (
     make_data_loader_train,
 )
 from .datasets.concat import ConcatDataset
+from .datasets.list_dataset import ListDataset
 
 # reference-name alias (fcos_core.data.make_data_loader)
 make_data_loader = make_data_loader_test
 
 __all__ = [
     "ConcatDataset",
+    "ListDataset",
     "DetectionLoader",
     "build_dataset",
     "build_datasets",

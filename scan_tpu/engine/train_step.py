@@ -30,6 +30,35 @@ import optax
 from ..modeling.detector import SCANDetector
 
 
+def _fused_pmean(axis_name, *trees):
+    """pmean every float leaf of the given pytrees in ONE all-reduce.
+
+    The grad tree has hundreds of leaves; per-leaf ``lax.pmean`` emits one
+    collective each and leans on XLA's all-reduce combiner to merge them
+    (which O0 / some backends skip, and which costs one 8-way rendezvous
+    per collective on the CPU test mesh). Concatenating into a single f32
+    vector guarantees exactly one all-reduce per step on every backend.
+    Non-float leaves (counters) pass through unchanged.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(trees)
+    idx = [i for i, l in enumerate(leaves)
+           if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+    if idx:
+        flat = jnp.concatenate(
+            [jnp.ravel(leaves[i]).astype(jnp.float32) for i in idx]
+        )
+        flat = jax.lax.pmean(flat, axis_name)
+        off = 0
+        for i in idx:
+            l = leaves[i]
+            n = l.size
+            leaves[i] = flat[off:off + n].reshape(jnp.shape(l)).astype(
+                jnp.asarray(l).dtype
+            )
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def make_da_train_step(detector: SCANDetector, optimizer,
                        axis_name: Optional[str] = None):
     """Returns train_step(params, opt_state, proto_state, batch_s, batch_t,
@@ -87,13 +116,13 @@ def make_da_train_step(detector: SCANDetector, optimizer,
             params, proto_state, batch_s, batch_t, forward_target
         )
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+            proto_mean = (new_proto.prototype if new_proto is not None
+                          else None)
+            grads, metrics, proto_mean = _fused_pmean(
+                axis_name, grads, metrics, proto_mean
+            )
             if new_proto is not None:
-                new_proto = type(new_proto)(
-                    jax.lax.pmean(new_proto.prototype, axis_name),
-                    new_proto.counter,
-                )
+                new_proto = type(new_proto)(proto_mean, new_proto.counter)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_proto, metrics
@@ -126,13 +155,13 @@ def make_source_only_train_step(detector: SCANDetector, optimizer,
             loss_fn, has_aux=True
         )(params, proto_state, batch)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+            proto_mean = (new_proto.prototype if new_proto is not None
+                          else None)
+            grads, metrics, proto_mean = _fused_pmean(
+                axis_name, grads, metrics, proto_mean
+            )
             if new_proto is not None:
-                new_proto = type(new_proto)(
-                    jax.lax.pmean(new_proto.prototype, axis_name),
-                    new_proto.counter,
-                )
+                new_proto = type(new_proto)(proto_mean, new_proto.counter)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_proto, metrics

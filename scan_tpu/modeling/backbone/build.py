@@ -49,6 +49,7 @@ def build_vgg_fpn_backbone(cfg, dtype=None):
         body_kwargs=dict(
             frozen_stages=2,
             with_bn=cfg.MODEL.BACKBONE.VGG_W_BN,
+            width_div=int(cfg.TPU.VGG_WIDTH_DIV),
             # numerics are exactly equal either way (tests/test_s2d_stem),
             # so this is purely an execution-strategy choice: the packed
             # stride-2 stem is a large win on the TPU MXU but compiles and

@@ -92,13 +92,22 @@ class VGG16(nn.Module):
     s2d_stage1: bool = False
     dtype: Optional[object] = None
     quant: bool = False
+    # Integer divisor on every stage width (floor 8). 1 == the real VGG-16
+    # (checkpoint-compatible). >1 is for compile/correctness dryruns on
+    # hosts where the full-width backbone is too slow (TPU.VGG_WIDTH_DIV);
+    # every code path (stage layout, s2d stem, freezing, FPN taps) is
+    # identical — only channel counts shrink.
+    width_div: int = 1
 
     @nn.compact
     def __call__(self, x):
         outs = []
         idx = 0
+        channels = tuple(
+            max(8, c // self.width_div) for c in VGG16_STAGE_CHANNELS
+        )
         for stage, (blocks, ch) in enumerate(
-            zip(VGG16_STAGE_BLOCKS, VGG16_STAGE_CHANNELS)
+            zip(VGG16_STAGE_BLOCKS, channels)
         ):
             if stage == 0 and self.s2d_stage1 and not self.with_bn:
                 x = self._stage1_s2d(x)
@@ -131,7 +140,7 @@ class VGG16(nn.Module):
         the SAME tree paths as the naive stem (conv0/Conv_0/...,
         conv1/Conv_0/...) so torch checkpoints and the naive path are
         interchangeable."""
-        ch = VGG16_STAGE_CHANNELS[0]
+        ch = max(8, VGG16_STAGE_CHANNELS[0] // self.width_div)
         k0, b0_raw = _ConvParamProxy(
             (3, 3, x.shape[-1], ch), name="conv0"
         )()

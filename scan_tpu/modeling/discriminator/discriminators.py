@@ -30,8 +30,22 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import Conv, ConvTower
+from ..layers import Conv, ConvTower, _ConvParams, normal_init
 from .grl import gradient_reversal
+
+
+class _HeadParams(nn.Module):
+    """Per-class CKA head parameters at the same tree paths ``Conv`` would
+    create (<name>/Conv_0/{kernel,bias}) without running the conv — the
+    class heads execute batched (see FCOSDiscriminatorCon) but stay
+    checkpoint-compatible with the per-class reference layout."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, True, normal_init(0.01),
+                           nn.initializers.zeros, name="Conv_0")()
 
 
 def _bce_with_logits(logits, target_value):
@@ -132,18 +146,38 @@ class FCOSDiscriminatorOut(nn.Module):
 
     @nn.compact
     def __call__(self, score_map, target: float, domain: str = "source"):
+        reg = score_map["box_regression"]
+        cls = score_map["box_cls"]
+        ctr = score_map["centerness"]
         maps = []
         if self.use_reg:
-            maps.append(score_map["box_regression"])
+            maps.append(reg)
         if self.use_cls:
-            maps.append(score_map["box_cls"])
+            maps.append(cls)
         if self.use_ctr:
-            maps.append(score_map["centerness"])
+            maps.append(ctr)
         x = jnp.concatenate(maps, axis=-1)
+        # outmap ops (reference fcos_head_discriminator_out.py:150-165)
         if self.outmap_op == "sigmoid":
             x = jax.nn.sigmoid(x)
         elif self.outmap_op == "maxpool":
-            x = jnp.max(x, axis=-1, keepdims=True)
+            # AdaptiveMaxPool3d((1,h,w)) over the CLS channels only, then
+            # concat (reg, pooled_cls, ctr) and sigmoid
+            pooled = jnp.max(cls, axis=-1, keepdims=True)
+            x = jax.nn.sigmoid(jnp.concatenate([reg, pooled, ctr], axis=-1))
+        elif self.outmap_op == "attreg":
+            # attention from pooled sigmoid cls x sigmoid ctr multiplied
+            # into the (sigmoid) reg map (reference :157-162)
+            assert len(maps) == 3, "attreg must align cls, reg, ctr"
+            pooled = jnp.max(jax.nn.sigmoid(cls), axis=-1, keepdims=True)
+            attmap = jax.nn.sigmoid(
+                self.out_weight * pooled * jax.nn.sigmoid(ctr)
+            )
+            x = jnp.concatenate([attmap, jax.nn.sigmoid(reg)], axis=-1)
+        elif self.outmap_op == "none":
+            pass
+        else:
+            raise NotImplementedError(self.outmap_op)
 
         if self.grl_applied_domain == "both" or domain == "target":
             x = gradient_reversal(x, self.grl_lambda)
@@ -157,11 +191,14 @@ class FCOSDiscriminatorOut(nn.Module):
                 x = nn.relu(x)
         x = Conv(1, 3, dtype=self.dtype, name="cls_logits")(x).astype(jnp.float32)
 
+        # loss is NOT scaled by out_weight — in the reference out_weight
+        # only weights the attreg attention map (out.py:161); the loss
+        # weighting comes from the GRL lambda alone
         if self.out_loss == "focal":
             bce = jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
             pt = jnp.exp(-bce)
-            return self.out_weight * jnp.mean(((1 - pt) ** 5.0) * bce)
-        return self.out_weight * _bce_with_logits(x, target)
+            return jnp.mean(((1 - pt) ** 5.0) * bce)
+        return _bce_with_logits(x, target)
 
 
 class FCOSDiscriminatorCon(nn.Module):
@@ -188,32 +225,75 @@ class FCOSDiscriminatorCon(nn.Module):
         x = ConvTower(self.num_convs, self.in_channels, dtype=self.dtype,
                       name="dis_tower")(feature)
 
-        loss = 0.0
+        # Per-class parameters keep the reference layout/names
+        # (classifier_cls_{c}_{0,1}: (3,3,Cin(+1),128) then (3,3,128,1))
+        # so torch checkpoints convert unchanged — but the N per-class
+        # heads EXECUTE as one wide conv + grouped convs: a Python loop of
+        # 2*N small convs per call compiles to 2*N separate kernels that
+        # underfill the MXU; concatenating the kernels runs the same math
+        # as N*128 output channels of a single conv (plus one grouped conv
+        # for the per-class act-map tap and one for the 128->1 logits).
+        cin = x.shape[-1]
+        extra = 1 if self.fusion_cfg == "concat" else 0
+        k0, b0, k1, b1 = [], [], [], []
         for c in range(num_fg):
-            amap = act_maps[..., c + 1 : c + 2]  # skip bg channel
-            if self.fusion_cfg == "concat":
-                x_cls = jnp.concatenate([x, amap.astype(x.dtype)], axis=-1)
+            p0 = _HeadParams((3, 3, cin + extra, 128),
+                             name=f"classifier_cls_{c}_0")()
+            p1 = _HeadParams((3, 3, 128, 1), name=f"classifier_cls_{c}_1")()
+            k0.append(p0[0]); b0.append(p0[1])
+            k1.append(p1[0]); b1.append(p1[1])
+        dt = x.dtype
+        amaps = act_maps[..., 1:num_fg + 1]  # (B,H,W,N) skip bg channel
+
+        if self.fusion_cfg == "concat":
+            # h_c = relu(x (*) W_c[:,:, :cin] + amap_c (*) W_c[:,:,cin:] + b_c)
+            wx = jnp.concatenate([k[:, :, :cin, :] for k in k0], -1)
+            wa = jnp.concatenate([k[:, :, cin:, :] for k in k0], -1)
+            h = jax.lax.conv_general_dilated(
+                x, wx.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = h + jax.lax.conv_general_dilated(
+                amaps.astype(dt), wa.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=num_fg,
+            )
+        else:
+            if self.fusion_cfg == "mul_detached":
+                amaps_f = jax.lax.stop_gradient(amaps)
             elif self.fusion_cfg == "mul":
-                x_cls = x * amap.astype(x.dtype)
-            elif self.fusion_cfg == "mul_detached":
-                x_cls = x * jax.lax.stop_gradient(amap).astype(x.dtype)
+                amaps_f = amaps
             else:
                 raise KeyError(f"Unknown fusion config: {self.fusion_cfg}")
-            h = Conv(128, 3, dtype=self.dtype, name=f"classifier_cls_{c}_0")(x_cls)
-            h = nn.relu(h)
-            logits = Conv(1, 3, dtype=self.dtype, name=f"classifier_cls_{c}_1")(h)
-            logits = logits.astype(jnp.float32)
-            w = jax.lax.stop_gradient(amap).astype(jnp.float32)
-            if num_fg > 1:
-                # act-map-weighted BCE, normalised by the act-map mass
-                # (reference con.py:119-121)
-                bce = (
-                    jnp.maximum(logits, 0)
-                    - logits * target
-                    + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-                )
-                loss_cls = jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1e-6)
-            else:
-                loss_cls = _bce_with_logits(logits, target)
-            loss = loss + loss_cls / num_fg
-        return loss
+            # x_cls_c = x * amap_c differs per class -> grouped conv over
+            # the class-stacked input (B,H,W,N*cin)
+            xs = (x[..., None, :] * amaps_f[..., :, None].astype(dt))
+            xs = xs.reshape(x.shape[:3] + (num_fg * cin,))
+            h = jax.lax.conv_general_dilated(
+                xs, jnp.concatenate(k0, -1).astype(dt), (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=num_fg,
+            )
+        h = nn.relu(h + jnp.concatenate(b0, -1).astype(dt))
+        logits = jax.lax.conv_general_dilated(
+            h, jnp.concatenate(k1, -1).astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=num_fg,
+        ) + jnp.concatenate(b1, -1).astype(dt)
+        logits = logits.astype(jnp.float32)  # (B,H,W,N)
+
+        w = jax.lax.stop_gradient(amaps).astype(jnp.float32)
+        bce = (
+            jnp.maximum(logits, 0)
+            - logits * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+        if num_fg > 1:
+            # act-map-weighted BCE, normalised by the act-map mass
+            # (reference con.py:119-121), per class
+            per_cls = (jnp.sum(bce * w, axis=(0, 1, 2))
+                       / jnp.maximum(jnp.sum(w, axis=(0, 1, 2)), 1e-6))
+        else:
+            per_cls = jnp.mean(bce, axis=(0, 1, 2))
+        return jnp.sum(per_cls) / num_fg

@@ -102,6 +102,11 @@ int png_decode(const uint8_t* data, size_t len, uint8_t* out, int* h,
     png_destroy_read_struct(&p, nullptr, nullptr);
     return 1;
   }
+  // Non-trivial locals must be constructed BEFORE the setjmp point: a
+  // libpng error longjmps past destructors of anything younger than the
+  // setjmp (formally UB, practically a per-error leak in long-running
+  // loader threads).
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(p))) {
     png_destroy_read_struct(&p, &info, nullptr);
     return 1;
@@ -128,7 +133,7 @@ int png_decode(const uint8_t* data, size_t len, uint8_t* out, int* h,
   if (png_get_valid(p, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(p);
   png_set_strip_alpha(p);
   png_read_update_info(p, info);
-  std::vector<png_bytep> rows(*h);
+  rows.resize(*h);
   for (int y = 0; y < *h; ++y)
     rows[y] = out + static_cast<size_t>(y) * (*w) * 3;
   png_read_image(p, rows.data());

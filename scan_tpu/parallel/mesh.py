@@ -17,20 +17,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def maybe_init_distributed(enable: bool = False):
     """Multi-host runtime init (reference ``tools/train_net_da.py:698-703``
     init_process_group). jax.distributed discovers coordinator/process
-    ids from the TPU/cluster environment; enabled via --distributed or
-    SCAN_TPU_DISTRIBUTED=1. No-op (with a warning) if discovery fails or
-    it was already initialised."""
+    ids from the TPU/cluster environment (or SCAN_TPU_COORDINATOR /
+    SCAN_TPU_NUM_PROCESSES / SCAN_TPU_PROCESS_ID overrides for plain-CPU
+    clusters); enabled via --distributed or SCAN_TPU_DISTRIBUTED=1.
+
+    When the caller EXPLICITLY asked for distributed mode, an init failure
+    raises — silently training single-host after a failed init would be a
+    correctness bug, not a fallback. 'Already initialised' stays a no-op.
+    """
     import logging
     import os
 
     if not (enable or os.environ.get("SCAN_TPU_DISTRIBUTED") == "1"):
         return
-    try:
-        jax.distributed.initialize()
-    except Exception as e:
-        logging.getLogger("scan_tpu.mesh").warning(
-            "jax.distributed.initialize failed/skipped: %s", e
+    kwargs = {}
+    if os.environ.get("SCAN_TPU_COORDINATOR"):
+        kwargs = dict(
+            coordinator_address=os.environ["SCAN_TPU_COORDINATOR"],
+            num_processes=int(os.environ["SCAN_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["SCAN_TPU_PROCESS_ID"]),
         )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            logging.getLogger("scan_tpu.mesh").warning(
+                "jax.distributed already initialised: %s", e
+            )
+            return
+        raise
 
 
 def make_mesh(dp: int = -1, devices=None) -> Mesh:

@@ -168,11 +168,21 @@ class PersonKeypoints:
         return PersonKeypoints(kp, new_size)
 
     def transpose(self, method=FLIP_LEFT_RIGHT):
-        if method != FLIP_LEFT_RIGHT:
-            raise NotImplementedError("only horizontal flip supported")
-        w = self.size[0]
-        kp = self.keypoints[:, _flip_inds()]
-        kp = kp.copy()
-        kp[..., 0] = w - kp[..., 0] - 1
-        kp[..., 0] *= (kp[..., 2] > 0)  # invisible points stay at 0
+        """Horizontal flip swaps left/right keypoints and mirrors x
+        (reference keypoint.py:40-58). Vertical flip mirrors y without a
+        name swap — the reference raises NotImplementedError there
+        (keypoint.py:42); supported here for transform completeness."""
+        if method == FLIP_LEFT_RIGHT:
+            w = self.size[0]
+            kp = self.keypoints[:, _flip_inds()].copy()
+            kp[..., 0] = w - kp[..., 0] - 1
+        elif method == FLIP_TOP_BOTTOM:
+            h = self.size[1]
+            kp = self.keypoints.copy()
+            kp[..., 1] = h - kp[..., 1] - 1
+        else:
+            raise NotImplementedError(f"unknown transpose method {method}")
+        # COCO convention: visibility == 0 -> the whole keypoint is 0
+        # (reference keypoint.py:52-54 zeroes x, y AND visibility)
+        kp *= (kp[..., 2:3] > 0)
         return PersonKeypoints(kp, self.size)

@@ -72,6 +72,12 @@ class Checkpointer:
         if not f:
             logger.info("no checkpoint found; keeping initialisation")
             return params, proto_state, opt_state, 0
+        if f.startswith(("catalog://", "http://", "https://")):
+            from .model_zoo import resolve_weight_uri
+
+            resolved = resolve_weight_uri(f)
+            logger.info("%s resolved to %s", f, resolved)
+            f = resolved
         if f.endswith(".pth") or f.endswith(".pkl"):
             params, proto_state = self._load_torch(f, params, proto_state, load_dis)
             return params, proto_state, opt_state, 0
@@ -107,6 +113,28 @@ class Checkpointer:
             logger.info(
                 "partial restore of %s (extra on-disk state ignored)", path
             )
+            # transforms={} silently keeps the passed-in (random-init)
+            # value for any TARGET key absent on disk — which would let an
+            # incompatible checkpoint "load" and evaluate garbage. Diff
+            # the on-disk tree against the target and refuse unless every
+            # unmatched target key is a known extra.
+            try:
+                disk_keys = _key_paths(ckptr.metadata(path).item_metadata.tree)
+            except Exception as e:  # metadata layout varies across versions
+                disk_keys = None
+                logger.warning("could not read checkpoint metadata: %s", e)
+            if disk_keys is not None:
+                missing = _key_paths(target) - disk_keys
+                benign = {
+                    k for k in missing
+                    if k.split("/")[0] in ("opt_state", "scheduler")
+                }
+                if missing - benign:
+                    raise ValueError(
+                        f"checkpoint {path} lacks {len(missing - benign)} "
+                        "target keys (incompatible architecture?): "
+                        + ", ".join(sorted(missing - benign)[:8])
+                    )
         params = restored["params"]
         if proto_state is not None:
             proto_state = ProtoState(
@@ -141,6 +169,21 @@ class Checkpointer:
                 jax.numpy.asarray(prototype), proto_state.counter
             )
         return params, proto_state
+
+
+def _key_paths(tree):
+    """Set of '/'-joined key paths of every leaf in a nested dict tree."""
+    paths = set()
+
+    def walk(node, prefix):
+        if isinstance(node, dict) and node:
+            for k, v in node.items():
+                walk(v, prefix + (str(k),))
+        else:
+            paths.add("/".join(prefix))
+
+    walk(tree, ())
+    return paths
 
 
 def _merge(dst, src):

@@ -222,3 +222,37 @@ def test_eval_partial_restore_of_training_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(proto.prototype), np.asarray(pr3.prototype)
     )
+
+
+def test_incompatible_checkpoint_refused(tmp_path):
+    """A checkpoint missing target params must NOT silently 'load' with the
+    target keeping its random init (advisor r2: the transforms={} fallback
+    made any structure mismatch a silent partial restore)."""
+    ck = Checkpointer(str(tmp_path / "a"))
+    params = {"m": {"w": np.ones((2, 2), np.float32)}}
+    path = ck.save("model_x", params, None, None, iteration=1)
+
+    ck2 = Checkpointer(str(tmp_path / "b"))
+    bad_target = {
+        "m": {"w": np.zeros((2, 2), np.float32)},
+        "extra_module": {"w2": np.zeros(3, np.float32)},
+    }
+    with pytest.raises(ValueError, match="extra_module"):
+        ck2.load(path, bad_target, None, None)
+
+
+def test_partial_restore_drops_only_known_extras(tmp_path):
+    """Restoring a training checkpoint (with opt_state) into an eval target
+    (without) stays allowed — toy-scale version of the slow e2e test."""
+    import optax
+
+    ck = Checkpointer(str(tmp_path / "a"))
+    params = {"m": {"w": np.ones((2, 2), np.float32)}}
+    opt_state = optax.sgd(0.1).init(params)
+    path = ck.save("model_x", params, None, opt_state, iteration=3)
+
+    ck2 = Checkpointer(str(tmp_path / "b"))
+    target = {"m": {"w": np.zeros((2, 2), np.float32)}}
+    p, _, _, it = ck2.load(path, target, None, None)
+    assert it == 3
+    np.testing.assert_allclose(np.asarray(p["m"]["w"]), params["m"]["w"])

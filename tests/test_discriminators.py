@@ -67,7 +67,7 @@ def test_ca_discriminator_types(feat, ca_type):
     assert np.isfinite(loss) and loss >= 0
 
 
-@pytest.mark.parametrize("outmap_op", ["sigmoid", "maxpool"])
+@pytest.mark.parametrize("outmap_op", ["sigmoid", "maxpool", "attreg", "none"])
 @pytest.mark.parametrize("out_loss", ["ce", "focal"])
 def test_out_discriminator(outmap_op, out_loss):
     rng = np.random.RandomState(2)

@@ -168,3 +168,84 @@ def test_tensorboard_logger_writes_events(tmp_path):
 
     files = os.listdir(str(tmp_path))
     assert any("tfevents" in f for f in files), files
+
+
+# --------------------------------------------------------------------- #
+# ModelCatalog / cache_url (reference utils/model_zoo.py:10-64,
+# config/paths_catalog.py:184-235, utils/checkpoint.py:117-139)
+# --------------------------------------------------------------------- #
+def test_model_catalog_urls():
+    from scan_tpu.config.paths_catalog import ModelCatalog
+
+    assert ModelCatalog.get("ImageNetPretrained/MSRA/R-50") == (
+        "https://dl.fbaipublicfiles.com/detectron/"
+        "ImageNetPretrained/MSRA/R-50.pkl"
+    )
+    url = ModelCatalog.get(
+        "Caffe2Detectron/COCO/35857345/e2e_faster_rcnn_R-50-FPN_1x"
+    )
+    assert url == (
+        "https://dl.fbaipublicfiles.com/detectron/35857345/"
+        "12_2017_baselines/e2e_faster_rcnn_R-50-FPN_1x.yaml."
+        "01_36_30.cUF7QR7I/output/train/coco_2014_train%3A"
+        "coco_2014_valminusminival/generalized_rcnn/model_final.pkl"
+    )
+    kp = ModelCatalog.get(
+        "Caffe2Detectron/COCO/37697547/e2e_keypoint_rcnn_R-50-FPN_1x"
+    )
+    assert "keypoints_coco_2014_train" in kp
+    with pytest.raises(RuntimeError):
+        ModelCatalog.get("NotACatalog/thing")
+
+
+def test_cache_url_filename_and_cache_hit(tmp_path, monkeypatch):
+    from scan_tpu.utils.model_zoo import cache_url, url_to_filename
+
+    # hash-named pth keeps its basename; detectron model_final.pkl
+    # flattens the path; a #fragment wins outright
+    assert url_to_filename(
+        "https://x/y/vgg16_caffe-292e1171.pth"
+    ) == "vgg16_caffe-292e1171.pth"
+    assert url_to_filename(
+        "https://dl.fb.com/detectron/35857345/x/model_final.pkl"
+    ) == "_detectron_35857345_x_model_final.pkl"
+    assert url_to_filename("https://x/y/a.pth#alias.pth") == "alias.pth"
+
+    # pre-cached file is returned without any network access
+    cached = tmp_path / "vgg16_caffe-292e1171.pth"
+    cached.write_bytes(b"weights")
+    def boom(*a, **k):
+        raise AssertionError("network touched on cache hit")
+    monkeypatch.setattr("scan_tpu.utils.model_zoo._download", boom)
+    got = cache_url(
+        "https://x/y/vgg16_caffe-292e1171.pth", model_dir=str(tmp_path)
+    )
+    assert got == str(cached)
+
+
+def test_resolve_weight_uri_catalog_cached(tmp_path, monkeypatch):
+    from scan_tpu.utils.model_zoo import resolve_weight_uri
+
+    monkeypatch.setenv("SCAN_TPU_CACHE_DIR", str(tmp_path))
+    (tmp_path / "R-50.pkl").write_bytes(b"caffe2")
+    got = resolve_weight_uri("catalog://ImageNetPretrained/MSRA/R-50")
+    assert got == str(tmp_path / "R-50.pkl")
+    # local paths pass through untouched
+    assert resolve_weight_uri("/a/b/c.pth") == "/a/b/c.pth"
+
+
+def test_list_dataset(tmp_path):
+    from PIL import Image
+
+    from scan_tpu.data import ListDataset
+
+    p = tmp_path / "img.png"
+    Image.fromarray(np.zeros((32, 48, 3), np.uint8)).save(p)
+    ds = ListDataset([str(p)])
+    assert len(ds) == 1
+    info = ds.get_img_info(0)
+    assert (info["height"], info["width"]) == (32, 48)
+    boxes, labels = ds.get_raw_target(0)
+    np.testing.assert_allclose(boxes, [[0, 0, 47, 31]])
+    assert labels.tolist() == [1]
+    assert ds.load_image(0).shape == (32, 48, 3)

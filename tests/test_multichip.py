@@ -50,9 +50,16 @@ def _run_with_abort_retry(cmd, env, cwd):
     failure (returncode 1) is never retried."""
     import subprocess
 
+    import warnings
+
     out = subprocess.run(cmd, env=env, cwd=cwd, capture_output=True,
                          text=True, timeout=3000)
     if out.returncode in (-6, -11, 134, 139):
+        # loud, so a real crash regression can't hide behind the retry
+        warnings.warn(
+            "child died with signal (rc=%d), retrying once; stderr tail:\n%s"
+            % (out.returncode, out.stderr[-2000:])
+        )
         out = subprocess.run(cmd, env=env, cwd=cwd, capture_output=True,
                              text=True, timeout=3000)
     return out

@@ -59,3 +59,24 @@ def test_layers_surface_imports():
         f, jnp.asarray([1, 2]), f, jnp.asarray([1, 2])
     )
     assert np.isfinite(float(loss))
+
+
+def test_keypoints_vertical_flip():
+    from scan_tpu.structures.masks import FLIP_TOP_BOTTOM
+
+    kp = np.zeros((1, 17, 3), np.float32)
+    ni = PersonKeypoints.NAMES.index("nose")
+    kp[0, ni] = [4, 3, 2]
+    k = PersonKeypoints(kp, (10, 8))  # (w, h)
+    f = k.transpose(FLIP_TOP_BOTTOM)
+    # y mirrored (h - y - 1), x unchanged, no left/right name swap
+    assert f.keypoints[0, ni].tolist() == [4, 8 - 3 - 1, 2]
+    # invisible keypoints zero entirely (COCO convention)
+    assert np.all(f.keypoints[0, PersonKeypoints.NAMES.index("left_eye")] == 0)
+
+
+def test_collect_env_info():
+    from scan_tpu.utils.collect_env import collect_env_info
+
+    s = collect_env_info()
+    assert "JAX:" in s and "flax:" in s and "devices:" in s

@@ -36,6 +36,9 @@ def main():
     cfg.freeze()
 
     logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
+    from scan_tpu.utils.collect_env import collect_env_info
+
+    logger.info("environment:\n%s", collect_env_info())
     detector = build_detector(cfg)
     # one loader per DATASETS.TEST name (reference tools/test_net.py:71-97
     # evaluates each test dataset separately)
@@ -51,17 +54,26 @@ def main():
             cfg.MODEL.WEIGHT, params, proto_state, None, load_dis=False
         )
 
-    if cfg.TPU.INT8_INFERENCE:
-        # calibrate static activation scales on the first test batch
-        # (replaces per-batch dynamic |x|max reduces; docs/perf/PERF.md)
-        first = next(iter(loaders[0]))
-        params = detector.calibrate_int8(
-            params, proto_state, [first["images"]]
-        )
-        logger.info("int8: calibrated static activation scales")
-
+    base_params = params
     all_printable = {}
     for name, loader in zip(cfg.DATASETS.TEST, loaders):
+        if cfg.TPU.INT8_INFERENCE:
+            # calibrate static activation scales over the first
+            # TPU.INT8_CALIB_BATCHES batches of THIS dataset (replaces
+            # per-batch dynamic |x|max reduces; docs/perf/PERF.md).
+            # Per-dataset from the base params: a single-batch global
+            # calibration clips datasets with larger activations at +-127.
+            batches = []
+            for _, b in zip(range(int(cfg.TPU.INT8_CALIB_BATCHES)),
+                            iter(loader)):
+                batches.append(b["images"])
+            params = detector.calibrate_int8(
+                base_params, proto_state, batches
+            )
+            logger.info(
+                "int8[%s]: calibrated static activation scales over %d "
+                "batches", name, len(batches),
+            )
         results, predictions = inference(detector, params, proto_state, loader)
         printable = {
             k: v for k, v in results.items() if not isinstance(v, dict)

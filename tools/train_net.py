@@ -47,6 +47,9 @@ def main():
         jax.config.update("jax_debug_nans", True)
 
     logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
+    from scan_tpu.utils.collect_env import collect_env_info
+
+    logger.info("environment:\n%s", collect_env_info())
     detector = build_detector(cfg)
     loader = make_data_loader_train(cfg)
     bucket = loader.bucket_hw

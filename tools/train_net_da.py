@@ -61,7 +61,9 @@ def main():
         jax.config.update("jax_debug_nans", True)
 
     logger = setup_logger("scan_tpu", cfg.OUTPUT_DIR)
-    logger.info("devices: %s", jax.devices())
+    from scan_tpu.utils.collect_env import collect_env_info
+
+    logger.info("environment:\n%s", collect_env_info())
     logger.info("config:\n%s", args.config_file)
 
     jax.config.update(
