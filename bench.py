@@ -9,6 +9,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -75,6 +76,92 @@ def bench_e2e(cfg):
     return len(preds) / dt
 
 
+def bench_train(cfg):
+    """DA train-step latency (ms/iter) under the same measurement
+    discipline as the inference bench: batch 4/domain at 672x1344 bf16
+    (the C2F schedule shape), median of BENCH_PASSES timed passes.
+    BENCH_TRAIN=1."""
+    import optax  # noqa: F401  (pulled transitively; fail fast if absent)
+
+    from scan_tpu.engine.train_step import make_da_train_step
+    from scan_tpu.modeling.detector import build_detector
+    from scan_tpu.solver.build import make_optimizer
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    h, w = 672, 1344
+    cfg.TPU.INT8_INFERENCE = False  # training always runs fp
+    det = build_detector(cfg)
+
+    rng = np.random.RandomState(0)
+    g = cfg.TPU.MAX_BOXES
+    boxes = np.zeros((batch, g, 4), np.float32)
+    labels = np.zeros((batch, g), np.int32)
+    mask = np.zeros((batch, g), bool)
+    n_boxes = 8
+    for b in range(batch):
+        for k in range(n_boxes):
+            x1, y1 = rng.randint(0, w - 80), rng.randint(0, h - 80)
+            boxes[b, k] = [x1, y1, x1 + rng.randint(16, 80),
+                           y1 + rng.randint(16, 80)]
+            labels[b, k] = rng.randint(1, 9)
+            mask[b, k] = True
+    batch_s = dict(
+        images=jnp.asarray(
+            rng.randn(batch, h, w, 3).astype(np.float32) * 30 + 100
+        ),
+        sizes=jnp.asarray([[h, w]] * batch, jnp.int32),
+        boxes=jnp.asarray(boxes), labels=jnp.asarray(labels),
+        mask=jnp.asarray(mask),
+    )
+    batch_t = dict(images=jnp.asarray(
+        rng.randn(batch, h, w, 3).astype(np.float32) * 30 + 100
+    ))
+
+    params, proto = det.init_params(
+        jax.random.PRNGKey(0), batch_s["images"][:1]
+    )
+    opt = make_optimizer(cfg, params)
+    opt_state = opt.init(params)
+    step = make_da_train_step(det, opt)
+
+    # warm both gate variants (compile)
+    for ft in (True, False):
+        params, opt_state, proto, metrics = step(
+            params, opt_state, proto, batch_s, batch_t, forward_target=ft
+        )
+        _ = float(metrics["loss_total"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    rates = []
+    for p in range(passes):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, proto, metrics = step(
+                params, opt_state, proto, batch_s, batch_t,
+                forward_target=True,
+            )
+        _ = float(metrics["loss_total"])  # sync
+        dt = time.perf_counter() - t0
+        rates.append(dt / iters * 1000)
+    med = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / med * 100
+    print(
+        f"train passes: {[round(r, 1) for r in rates]} ms/iter "
+        f"(median {med:.1f}, spread {spread:.1f}%)",
+        file=sys.stderr,
+    )
+    # BASELINE: the reference's C2F schedule is 80k iters on one GPU; no
+    # published it/s — vs_baseline reports the 80k-schedule wall-clock in
+    # hours as a scale cue instead of a ratio.
+    print(json.dumps({
+        "metric": "da_train_step_672x1344_b4",
+        "value": round(med, 1),
+        "unit": "ms/iter",
+        "vs_baseline": round(med * 80000 / 3.6e6, 2),  # hours for 80k iters
+    }))
+
+
 def main():
     from scan_tpu.config import get_default_cfg
     from scan_tpu.modeling.detector import build_detector
@@ -95,6 +182,17 @@ def main():
         cfg.TPU.INT8_INFERENCE = True
     if os.environ.get("BENCH_MODE"):
         cfg.TEST.MODE = os.environ["BENCH_MODE"]
+    if os.environ.get("BENCH_PALLAS_STEM"):
+        cfg.TPU.PALLAS_STEM = os.environ["BENCH_PALLAS_STEM"] == "1"
+    if os.environ.get("BENCH_STEM_CHUNK"):
+        cfg.TPU.STEM_CHUNK = int(os.environ["BENCH_STEM_CHUNK"])
+    if os.environ.get("BENCH_NMS_CAP"):
+        cfg.TPU.NMS_CAP = int(os.environ["BENCH_NMS_CAP"])
+    if os.environ.get("BENCH_PRE_NMS_TOP_N"):
+        cfg.MODEL.FCOS.PRE_NMS_TOP_N = int(os.environ["BENCH_PRE_NMS_TOP_N"])
+    if os.environ.get("BENCH_TRAIN") == "1":
+        bench_train(cfg)
+        return
     if os.environ.get("BENCH_E2E") == "1":
         cfg.TEST.IMS_PER_BATCH = int(os.environ.get("BENCH_BATCH", "24"))
         img_per_sec = bench_e2e(cfg)
@@ -121,8 +219,10 @@ def main():
 
     if cfg.TPU.INT8_INFERENCE:
         # calibrate static activation scales on one batch (replaces the
-        # per-layer dynamic |x|max reduce passes)
-        params = det.calibrate_int8(params, proto, [batch_images])
+        # per-layer dynamic |x|max reduce passes). Calibration runs the
+        # UNCHUNKED stem, so cap the calibration slice at 16 images; the
+        # amax scales are batch-size independent.
+        params = det.calibrate_int8(params, proto, [batch_images[:16]])
 
     fwd = jax.jit(
         lambda p, s, im, sz: det.forward_inference(p, s, im, sz)
@@ -133,14 +233,27 @@ def main():
     out = fwd(params, proto, batch_images, sizes)
     _ = np.asarray(out["scores"][0, 0])
 
+    # Reproducibility discipline (VERDICT r2): several timed passes, report
+    # the MEDIAN pass; per-pass numbers + spread go to stderr (the driver
+    # parses the single stdout JSON line).
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    outs = [fwd(params, proto, batch_images, sizes) for _ in range(iters)]
-    for out in outs:  # drain: device executes in order, fetch forces sync
-        _ = np.asarray(out["scores"][0, 0])
-    dt = time.perf_counter() - t0
-
-    img_per_sec = batch * iters / dt
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    rates = []
+    for p in range(passes):
+        t0 = time.perf_counter()
+        outs = [fwd(params, proto, batch_images, sizes) for _ in range(iters)]
+        for out in outs:  # drain: device executes in order, fetch forces sync
+            _ = np.asarray(out["scores"][0, 0])
+        dt = time.perf_counter() - t0
+        rates.append(batch * iters / dt)
+    med = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / med * 100
+    print(
+        f"bench passes: {[round(r, 1) for r in rates]} img/s "
+        f"(median {med:.1f}, spread {spread:.1f}%)",
+        file=sys.stderr,
+    )
+    img_per_sec = med
     print(
         json.dumps(
             {

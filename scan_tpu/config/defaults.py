@@ -470,6 +470,15 @@ _C.TPU.INT8_CALIB_BATCHES = 8
 # per-row-phase lifted kernels fill the 128 MXU lanes the naive
 # 64-channel stem leaves half-empty, and the 2x2 pool becomes a phase-max.
 _C.TPU.S2D_STEM = True
+# Sub-batch size for the s2d stem's stage-1 (0 = whole batch). The
+# full-res stage-1 intermediates are the HBM-capacity limiter (batch 48
+# OOMs unchunked at 800x1344); chunking bounds them without changing
+# numerics.
+_C.TPU.STEM_CHUNK = 0
+# Fused Pallas stage-1 stem kernel (both convs + pool in VMEM, no
+# full-res HBM intermediates). TPU backend only; falls back to the XLA
+# s2d stem elsewhere and during int8 calibration.
+_C.TPU.PALLAS_STEM = False
 # Divide every VGG stage width by this (floor 8). 1 = the real VGG-16
 # (checkpoint-compatible). >1 shrinks the backbone through the identical
 # code paths — used by compile/sharding dryruns on weak CPU hosts.

@@ -50,6 +50,8 @@ def build_vgg_fpn_backbone(cfg, dtype=None):
             frozen_stages=2,
             with_bn=cfg.MODEL.BACKBONE.VGG_W_BN,
             width_div=int(cfg.TPU.VGG_WIDTH_DIV),
+            stem_chunk=int(cfg.TPU.STEM_CHUNK),
+            pallas_stem=bool(cfg.TPU.PALLAS_STEM),
             # numerics are exactly equal either way (tests/test_s2d_stem),
             # so this is purely an execution-strategy choice: the packed
             # stride-2 stem is a large win on the TPU MXU but compiles and

@@ -98,6 +98,11 @@ class VGG16(nn.Module):
     # every code path (stage layout, s2d stem, freezing, FPN taps) is
     # identical — only channel counts shrink.
     width_div: int = 1
+    # >0: run the s2d stem over sub-batches of this size (lax.map) so the
+    # full-res stage-1 intermediates bound HBM use (TPU.STEM_CHUNK).
+    stem_chunk: int = 0
+    # Fused Pallas stage-1 kernel (TPU.PALLAS_STEM); TPU backend only.
+    pallas_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -129,7 +134,15 @@ class VGG16(nn.Module):
                 # through (they are the lowest layers, so cutting here is
                 # exactly "requires_grad=False" in the reference vgg.py:131).
                 x = jax.lax.stop_gradient(x)
-            outs.append(x)
+            from ...ops.quant import QuantizedActivation
+
+            if isinstance(x, QuantizedActivation):
+                # int8-static stem output: the next Conv consumes the s8
+                # tensor directly; the C1 tap gets the fp view (XLA
+                # dead-code-eliminates it — the FPN only reads C3..C5).
+                outs.append(x.dequantize(self.dtype or jnp.float32))
+            else:
+                outs.append(x)
         return tuple(outs)
 
     def _stage1_s2d(self, x):
@@ -148,38 +161,119 @@ class VGG16(nn.Module):
 
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        y = self._stem_conv("conv0_act", x, k0.astype(dt),
-                            b0_raw.astype(dt), stride=1)
-        y = nn.relu(y)
-        w1 = _phase_packed_weight(k1).astype(dt)
-        z = self._stem_conv("conv1_act", y, w1,
-                            jnp.tile(b1_raw.astype(dt), 4), stride=2)
-        # 2x2 max-pool == max over the four phase slices of the packed
-        # output; relu commutes with max so it is applied once, after.
-        # (A standalone Pallas kernel for this was measured SLOWER than
-        # XLA's fused slice-max — XLA fuses the requant for the next conv
-        # into the same pass; see docs/perf/PERF.md.)
-        m = jnp.maximum(
-            jnp.maximum(z[..., :ch], z[..., ch:2 * ch]),
-            jnp.maximum(z[..., 2 * ch:3 * ch], z[..., 3 * ch:]),
+
+        calibrating_now = (
+            self.is_mutable_collection("act_scales")
+            and not self.is_initializing()
         )
-        return nn.relu(m)
+        if (self.pallas_stem and not calibrating_now
+                and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and x.shape[1] % 8 == 0 and x.shape[2] % 16 == 0):
+            # Fused Pallas stem: both convs + phase-max in VMEM, no
+            # full-res HBM intermediates (ops/pallas/stem_kernel.py).
+            # Runs bf16 (f32 accum) even under int8 inference. OFF by
+            # default: measured 66 ms/batch32 on v5e vs ~44 ms for the
+            # XLA int8 three-pass stem — the VMEM-relayout taxes Mosaic
+            # imposes on the stride-2 access pattern outweigh the HBM
+            # savings (measurements + lowering notes in
+            # docs/perf/PERF.md round 3).
+            from ...ops.pallas.stem_kernel import fused_s2d_stem
 
-    def _stem_conv(self, scale_name, x, w, b, stride):
-        """fp conv, or w8a8 int8 conv when ``quant`` — with the same
-        static-activation-scale calibration protocol as layers.Conv."""
-        if not self.quant:
-            return jax.lax.conv_general_dilated(
-                x, w, (stride, stride), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b
-        from ...ops.quant import int8_conv
+            return fused_s2d_stem(
+                x, k0, b0_raw, k1, b1_raw, th=2,
+                out_dtype=dt if dt != jnp.float32 else jnp.float32,
+            )
 
-        act_scale = None
+        w0 = k0.astype(dt)
+        b0 = b0_raw.astype(dt)
+        w1 = _phase_packed_weight(k1).astype(dt)
+        b1 = jnp.tile(b1_raw.astype(dt), 4)
+
+        def _phase_max(z):
+            # 2x2 max-pool == max over the four phase slices of the packed
+            # output; relu commutes with max so it is applied once, after.
+            # (A standalone Pallas kernel for this was measured SLOWER
+            # than XLA's fused slice-max; see docs/perf/PERF.md.)
+            return jnp.maximum(
+                jnp.maximum(z[..., :ch], z[..., ch:2 * ch]),
+                jnp.maximum(z[..., 2 * ch:3 * ch], z[..., 3 * ch:]),
+            )
+
         calibrating = (
             self.is_mutable_collection("act_scales")
             and not self.is_initializing()
         )
+        s0 = self._stem_scale("conv0_act", x if calibrating else None)
+        if calibrating:
+            y = nn.relu(self._apply_stem_conv(x, w0, b0, 1, s0))
+            s1 = self._stem_scale("conv1_act", y)
+            z = self._apply_stem_conv(y, w1, b1, 2, s1)
+            out = nn.relu(_phase_max(z))
+            self._stem_scale("stem_out_act", out)
+            return out
+
+        s1 = self._stem_scale("conv1_act", None)
+        s_out = self._stem_scale("stem_out_act", None)
+        # Static int8 path: fold ReLU + the requant into each conv's
+        # epilogue BEFORE the phase-max. Requant (round/clip at a scale
+        # shared by all four phase slices — w_scale tiles identically) and
+        # ReLU are monotonic non-decreasing, so they commute with max and
+        # the result is bit-exact with quantize(relu(max(dequant))). The
+        # payoff: the epilogue is now purely elementwise, XLA fuses it
+        # into the conv, and only int8 ever reaches HBM — measured 59 ms
+        # -> ~23 ms for the stem block at batch 32 800x1344 (the f32
+        # (B,400,672,256) dequant intermediate disappears). The output is
+        # a QuantizedActivation consumed directly by the next Conv.
+        use_s8 = (
+            self.quant and s0 is not None and s1 is not None
+            and s_out is not None
+        )
+
+        def body(xc):
+            if use_s8:
+                from ...ops.quant import int8_conv
+
+                y_q = int8_conv(
+                    xc, w0, b0, stride=1, padding=((1, 1), (1, 1)),
+                    act_scale=s0, out_quant_scale=s1, fold_relu=True,
+                )
+                z_q = int8_conv(
+                    y_q, w1, b1, stride=2, padding=((1, 1), (1, 1)),
+                    act_scale=s1, out_quant_scale=s_out, fold_relu=True,
+                )
+                return _phase_max(z_q)
+            y = nn.relu(self._apply_stem_conv(xc, w0, b0, 1, s0))
+            z = self._apply_stem_conv(y, w1, b1, 2, s1)
+            return nn.relu(_phase_max(z))
+
+        chunk = int(self.stem_chunk)
+        b = x.shape[0]
+        if chunk <= 0 or b <= chunk or b % chunk != 0:
+            out = body(x)
+        else:
+            # TPU.STEM_CHUNK: run stage 1 over sub-batches via lax.map so
+            # the full-resolution intermediates (the HBM-capacity limiter
+            # — 138 MB/img bf16 at 800x1344) exist for only `chunk` images
+            # at a time; batch 48+ fits where the unchunked stem OOMs.
+            # Exact same numerics per image (static scales are fetched
+            # once, outside the loop).
+            xs = x.reshape((b // chunk, chunk) + x.shape[1:])
+            out = jax.lax.map(body, xs)
+            out = out.reshape((b,) + out.shape[2:])
+        if use_s8:
+            from ...ops.quant import QuantizedActivation
+
+            return QuantizedActivation(out, s_out)
+        return out
+
+    def _stem_scale(self, scale_name, calib_input):
+        """Static-activation-scale protocol shared with layers.Conv: during
+        calibration accumulate |x|max into the variable; otherwise return
+        the stored scale (or None for the dynamic-quant / fp paths)."""
+        if not self.quant:
+            return None
+        calibrating = calib_input is not None
         if calibrating or self.has_variable("act_scales", scale_name):
             sv = self.variable(
                 "act_scales", scale_name,
@@ -187,10 +281,23 @@ class VGG16(nn.Module):
             )
             if calibrating:
                 sv.value = jnp.maximum(
-                    sv.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    sv.value,
+                    jnp.max(jnp.abs(calib_input.astype(jnp.float32))),
                 )
-            else:
-                act_scale = sv.value / 127.0
+                return None
+            return sv.value / 127.0
+        return None
+
+    def _apply_stem_conv(self, x, w, b, stride, act_scale):
+        """fp conv, or w8a8 int8 conv when ``quant`` (pure — safe under
+        lax.map; variables are handled by _stem_scale outside)."""
+        if not self.quant:
+            return jax.lax.conv_general_dilated(
+                x, w, (stride, stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+        from ...ops.quant import int8_conv
+
         return int8_conv(
             x, w, b, stride=stride, padding=((1, 1), (1, 1)),
             out_dtype=x.dtype, act_scale=act_scale,

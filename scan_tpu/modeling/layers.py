@@ -73,9 +73,14 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.quant import QuantizedActivation
+
+        if isinstance(x, QuantizedActivation) and not self.quant:
+            x = x.dequantize(self.dtype or jnp.float32)
         if self.quant:
             from ..ops.quant import int8_conv
 
+            pre_q = x if isinstance(x, QuantizedActivation) else None
             k, b = _ConvParams(
                 (self.kernel_size, self.kernel_size,
                  x.shape[-1], self.features),
@@ -100,11 +105,22 @@ class Conv(nn.Module):
                     lambda: jnp.zeros((), jnp.float32),
                 )
                 if calibrating:
+                    # prequantized inputs never occur during calibration
+                    # (producers emit fp on that pass, see VGG16 stem)
                     sv.value = jnp.maximum(
                         sv.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
                     )
                 else:
                     act_scale = sv.value / 127.0
+            if pre_q is not None:
+                # already int8 at a known scale (the producer folded this
+                # layer's quantize into its epilogue) — skip quantization
+                return int8_conv(
+                    pre_q.q, k, b, stride=self.stride,
+                    padding=((p, p), (p, p)),
+                    out_dtype=self.dtype or jnp.float32,
+                    act_scale=pre_q.scale,
+                )
             return int8_conv(
                 x, k, b, stride=self.stride, padding=((p, p), (p, p)),
                 out_dtype=self.dtype or x.dtype, act_scale=act_scale,

@@ -125,6 +125,82 @@ def setup_reference():
     ipdb.set_trace = lambda: None
     sys.modules.setdefault("ipdb", ipdb)
 
+    # torch._six was removed in torch>=1.13; the reference's
+    # utils/imports.py:4 still gates on torch._six.PY3 (always true here).
+    if not hasattr(torch, "_six"):
+        six = types.ModuleType("torch._six")
+        six.PY3 = True
+        six.string_classes = (str, bytes)
+        six.int_classes = (int,)
+        torch._six = six
+        sys.modules["torch._six"] = six
+
+    # torchvision is not installed; the reference only needs (a) the
+    # CocoDetection base class (fcos_core/data/datasets/coco.py:39) and
+    # (b) four functional ops in data/transforms/transforms.py, all of
+    # which are thin PIL/torch wrappers reimplemented faithfully here
+    # (F.resize == PIL bilinear with (h, w) size, torchvision semantics).
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ds = types.ModuleType("torchvision.datasets")
+        tv_ds_coco = types.ModuleType("torchvision.datasets.coco")
+
+        class _CocoDetection:
+            def __init__(self, *a, **k):
+                raise RuntimeError(
+                    "torchvision stub: CocoDetection not usable in tests"
+                )
+
+        tv_ds_coco.CocoDetection = _CocoDetection
+        tv_ds.coco = tv_ds_coco
+        tv_ds.CocoDetection = _CocoDetection
+        tv_tr = types.ModuleType("torchvision.transforms")
+        tv_f = types.ModuleType("torchvision.transforms.functional")
+
+        def _f_resize(img, size):
+            from PIL import Image
+
+            if isinstance(size, (list, tuple)):
+                oh, ow = size
+            else:  # int: match smaller edge (unused by the reference)
+                w, h = img.size
+                if w < h:
+                    ow, oh = size, int(size * h / w)
+                else:
+                    oh, ow = size, int(size * w / h)
+            return img.resize((ow, oh), Image.BILINEAR)
+
+        def _f_hflip(img):
+            from PIL import Image
+
+            return img.transpose(Image.FLIP_LEFT_RIGHT)
+
+        def _f_to_tensor(img):
+            import numpy as _np
+
+            arr = _np.asarray(img, dtype=_np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+        def _f_normalize(t, mean, std):
+            mean = torch.as_tensor(mean, dtype=t.dtype).view(-1, 1, 1)
+            std = torch.as_tensor(std, dtype=t.dtype).view(-1, 1, 1)
+            return (t - mean) / std
+
+        tv_f.resize = _f_resize
+        tv_f.hflip = _f_hflip
+        tv_f.to_tensor = _f_to_tensor
+        tv_f.normalize = _f_normalize
+        tv_tr.functional = tv_f
+        tv.transforms = tv_tr
+        tv.datasets = tv_ds
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.datasets"] = tv_ds
+        sys.modules["torchvision.datasets.coco"] = tv_ds_coco
+        sys.modules["torchvision.transforms"] = tv_tr
+        sys.modules["torchvision.transforms.functional"] = tv_f
+
     pct = types.ModuleType("pycocotools")
     pcc = types.ModuleType("pycocotools.coco")
 
@@ -134,8 +210,21 @@ def setup_reference():
 
     pcc.COCO = _COCO
     pct.coco = pcc
+    pcm = types.ModuleType("pycocotools.mask")
+
+    def _mask_unavailable(*a, **k):
+        raise RuntimeError("pycocotools.mask stub: not available in tests")
+
+    pcm.frPyObjects = _mask_unavailable
+    pcm.decode = _mask_unavailable
+    pcm.encode = _mask_unavailable
+    pcm.iou = _mask_unavailable
+    pct.mask = pcm
+    # mark as a package so `import pycocotools.mask` resolves
+    pct.__path__ = []
     sys.modules.setdefault("pycocotools", pct)
     sys.modules.setdefault("pycocotools.coco", pcc)
+    sys.modules.setdefault("pycocotools.mask", pcm)
 
     ext = types.ModuleType("fcos_core._C")
     ext.nms = _greedy_nms
