@@ -186,6 +186,12 @@ def main():
         cfg.TPU.PALLAS_STEM = os.environ["BENCH_PALLAS_STEM"] == "1"
     if os.environ.get("BENCH_STEM_CHUNK"):
         cfg.TPU.STEM_CHUNK = int(os.environ["BENCH_STEM_CHUNK"])
+    if os.environ.get("BENCH_STEM_S8"):
+        cfg.TPU.STEM_S8_EPILOGUE = os.environ["BENCH_STEM_S8"] == "1"
+    if os.environ.get("BENCH_STEM_PAIR"):
+        cfg.TPU.STEM_PAIR_CONV = os.environ["BENCH_STEM_PAIR"] == "1"
+    if os.environ.get("BENCH_PALLAS_CONV0"):
+        cfg.TPU.PALLAS_CONV0 = os.environ["BENCH_PALLAS_CONV0"] == "1"
     if os.environ.get("BENCH_NMS_CAP"):
         cfg.TPU.NMS_CAP = int(os.environ["BENCH_NMS_CAP"])
     if os.environ.get("BENCH_PRE_NMS_TOP_N"):

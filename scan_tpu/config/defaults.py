@@ -475,6 +475,23 @@ _C.TPU.S2D_STEM = True
 # OOMs unchunked at 800x1344); chunking bounds them without changing
 # numerics.
 _C.TPU.STEM_CHUNK = 0
+# Fold ReLU + the successor requant into the int8 stem conv epilogues
+# BEFORE the phase-max (bit-exact — see tests/test_quant_stem.py).
+# Default OFF: measured 151.6 vs 164.0 img/s at batch 32 on v5e. XLA will
+# not fuse round/clip-to-s8 into a convolution output fusion, so the conv
+# materialises bf16 either way and the early requant only ADDS an HBM
+# pass (trace: add_convert_fusion stays, plus a new s8 loop fusion).
+_C.TPU.STEM_S8_EPILOGUE = False
+# Split the packed stride-2 stem conv into two row-phase-pair convs in the
+# static int8 path: 25% fewer MACs (the dropped taps are structural
+# zeros), bit-exact vs the packed form (s32 accumulation). Default OFF:
+# measured 157.4 vs 164.0 img/s at batch 32 on v5e — the second full
+# read of the quantized stem input outweighs the MAC savings.
+_C.TPU.STEM_PAIR_CONV = False
+# Fused Pallas conv0+int8-quantize kernel for the stem's first conv (the
+# Cin=3 conv XLA runs at ~9.5 TF/s plus an unfusable full-res quantize
+# pass); bit-exact (tests/test_conv0_kernel.py). TPU backend only.
+_C.TPU.PALLAS_CONV0 = False
 # Fused Pallas stage-1 stem kernel (both convs + pool in VMEM, no
 # full-res HBM intermediates). TPU backend only; falls back to the XLA
 # s2d stem elsewhere and during int8 calibration.

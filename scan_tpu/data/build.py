@@ -13,6 +13,7 @@ handful. Loading runs in background threads with a bounded prefetch queue.
 
 import math
 import queue
+import random
 import threading
 from typing import Dict, Iterator, Optional
 
@@ -109,13 +110,20 @@ class DetectionLoader:
 
     def __init__(self, dataset, cfg, is_train: bool, batch_size: int,
                  max_iters: Optional[int] = None, seed: int = 1234,
-                 bucket_hw=None, num_threads: Optional[int] = None):
+                 bucket_hw=None, num_threads: Optional[int] = None,
+                 start_iter: int = 0):
         self.dataset = dataset
         self.cfg = cfg
         self.is_train = is_train
         self.batch_size = batch_size
         self.max_iters = max_iters
         self.seed = seed
+        # resume support (reference IterationBasedBatchSampler,
+        # data/build.py:86-104): skip into the shuffled stream so a
+        # restored run sees the batches it would have seen. Exact because
+        # per-image transform draws are keyed by (seed, iteration, slot),
+        # not a sequential stream (see _make_batch).
+        self.start_iter = start_iter
         self.max_boxes = cfg.TPU.MAX_BOXES
         self.pre = build_preprocessor(cfg, is_train, seed=seed)
         # aspect-ratio grouping (reference GroupedBatchSampler): one static
@@ -139,12 +147,15 @@ class DetectionLoader:
 
     def __len__(self):
         if self.is_train:
-            return self.max_iters or 0
+            return max((self.max_iters or 0) - self.start_iter, 0)
         return math.ceil(len(self.dataset) / self.batch_size)
 
     def _index_stream(self) -> Iterator[tuple]:
-        """Yields (group_id, indices) with batches drawn within one
-        orientation group (reference grouped_batch_sampler semantics)."""
+        """Yields (iteration, group_id, indices) with batches drawn within
+        one orientation group (reference grouped_batch_sampler semantics).
+        Skips the first ``start_iter`` batches cheaply (index math only —
+        no image IO), reproducing the stream a fresh run would have
+        produced at that iteration."""
         if self.is_train:
             rng = np.random.RandomState(self.seed)
             it = 0
@@ -165,18 +176,19 @@ class DetectionLoader:
                     idx = [group[j % len(group)] for j in range(self.batch_size)]
                     epoch_batches.append((gi, idx))
                 rng.shuffle(epoch_batches)
-                for b in epoch_batches:
+                for gi, idx in epoch_batches:
                     if self.max_iters is not None and it >= self.max_iters:
                         return
-                    yield b
+                    if it >= self.start_iter:
+                        yield it, gi, idx
                     it += 1
         else:
             for gi, group in enumerate(self.groups):
                 for start in range(0, len(group), self.batch_size):
-                    yield gi, group[start : start + self.batch_size]
+                    yield 0, gi, group[start : start + self.batch_size]
 
-    def _make_batch(self, group_and_indices) -> Dict[str, np.ndarray]:
-        group_id, indices = group_and_indices
+    def _make_batch(self, item) -> Dict[str, np.ndarray]:
+        iteration, group_id, indices = item
         H, W = self.buckets[group_id]
         bs = self.batch_size
         img_dtype = np.uint8 if self.device_normalize else np.float32
@@ -191,14 +203,20 @@ class DetectionLoader:
             img = self.dataset.load_image(i)
             gt_boxes, gt_labels = self.dataset.get_raw_target(i)
             oh0, ow0 = img.shape[:2]
+            # transform draws keyed by (seed, iteration, slot): identical
+            # batches under any prefetch-thread interleaving, and exact
+            # across checkpoint resume (start_iter skip)
+            rng = random.Random(
+                (self.seed * 2654435761 + iteration * 131 + slot) % (1 << 63)
+            )
             # fused native resize(+normalize) straight into the padded slot
             if self.device_normalize:
                 gt_boxes, (oh, ow) = self.pre.into_buffer_u8(
-                    img, gt_boxes, images[slot]
+                    img, gt_boxes, images[slot], rng=rng
                 )
             else:
                 gt_boxes, (oh, ow) = self.pre.into_buffer(
-                    img, gt_boxes, images[slot]
+                    img, gt_boxes, images[slot], rng=rng
                 )
             if oh > H or ow > W:
                 raise ValueError(
@@ -268,29 +286,29 @@ class DetectionLoader:
             stop.set()
 
 
-def make_data_loader_source(cfg, seed: int = 1234):
+def make_data_loader_source(cfg, seed: int = 1234, start_iter: int = 0):
     ds = build_datasets(cfg.DATASETS.TRAIN_SOURCE, is_train=True)
     # each DA stream uses the full IMS_PER_BATCH (reference data/build.py:183)
     return DetectionLoader(
         ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
-        max_iters=cfg.SOLVER.MAX_ITER, seed=seed,
+        max_iters=cfg.SOLVER.MAX_ITER, seed=seed, start_iter=start_iter,
     )
 
 
-def make_data_loader_target(cfg, seed: int = 1234):
+def make_data_loader_target(cfg, seed: int = 1234, start_iter: int = 0):
     ds = build_datasets(cfg.DATASETS.TRAIN_TARGET, is_train=True)
     return DetectionLoader(
         ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
-        max_iters=cfg.SOLVER.MAX_ITER, seed=seed + 1,
+        max_iters=cfg.SOLVER.MAX_ITER, seed=seed + 1, start_iter=start_iter,
     )
 
 
-def make_data_loader_train(cfg, seed: int = 1234):
+def make_data_loader_train(cfg, seed: int = 1234, start_iter: int = 0):
     names = cfg.DATASETS.TRAIN_SOURCE or cfg.DATASETS.TRAIN
     ds = build_datasets(names, is_train=True)
     return DetectionLoader(
         ds, cfg, True, cfg.SOLVER.IMS_PER_BATCH,
-        max_iters=cfg.SOLVER.MAX_ITER, seed=seed,
+        max_iters=cfg.SOLVER.MAX_ITER, seed=seed, start_iter=start_iter,
     )
 
 

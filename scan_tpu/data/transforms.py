@@ -47,11 +47,18 @@ class Preprocessor:
         self.flip_prob = flip_prob
         self.rng = random.Random(seed)
 
-    def plan(self, h: int, w: int):
-        """Draw the (resize target, flip) decisions for one image."""
-        size = self.rng.choice(self.min_sizes)
+    def plan(self, h: int, w: int, rng=None):
+        """Draw the (resize target, flip) decisions for one image.
+
+        ``rng`` lets the caller key the draws deterministically (the
+        loader derives one per (iteration, slot) so batches are
+        reproducible under any prefetch-thread schedule and across
+        checkpoint resume); default falls back to the shared stream.
+        """
+        rng = rng or self.rng
+        size = rng.choice(self.min_sizes)
         oh, ow = get_resize_hw(w, h, size, self.max_size)
-        flip = self.flip_prob > 0 and self.rng.random() < self.flip_prob
+        flip = self.flip_prob > 0 and rng.random() < self.flip_prob
         return oh, ow, flip
 
     def transform_boxes(self, boxes, h, w, oh, ow, flip):
@@ -64,13 +71,14 @@ class Preprocessor:
                 boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
         return boxes
 
-    def into_buffer(self, image: np.ndarray, boxes, out: np.ndarray):
+    def into_buffer(self, image: np.ndarray, boxes, out: np.ndarray,
+                    rng=None):
         """Fused path: resize+flip+normalize straight into the padded
         (H, W, 3) float32 buffer (native C++ kernel when available; the
         flip commutes with the symmetric resize filter so it is applied to
         the source view). Returns (boxes, (oh, ow))."""
         h, w = image.shape[:2]
-        oh, ow, flip = self.plan(h, w)
+        oh, ow, flip = self.plan(h, w, rng)
         src = image[:, ::-1] if flip else image
         from ..native import preprocess_image as native_pre
 
@@ -81,11 +89,12 @@ class Preprocessor:
         boxes = self.transform_boxes(boxes, h, w, oh, ow, flip)
         return boxes, (oh, ow)
 
-    def into_buffer_u8(self, image: np.ndarray, boxes, out: np.ndarray):
+    def into_buffer_u8(self, image: np.ndarray, boxes, out: np.ndarray,
+                       rng=None):
         """Resize+flip into a padded uint8 RGB buffer; normalization happens
         on-device (detector._prep_images). 4x less host->device traffic."""
         h, w = image.shape[:2]
-        oh, ow, flip = self.plan(h, w)
+        oh, ow, flip = self.plan(h, w, rng)
         src = image[:, ::-1] if flip else image
         from ..native import resize_image_u8 as native_resize
 

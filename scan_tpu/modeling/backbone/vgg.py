@@ -32,6 +32,56 @@ def _s2d(x):
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def _phase_pair_weights(w: jnp.ndarray):
+    """Lift a 3x3 stride-1 kernel (3,3,Cin,Cout) into TWO stride-2
+    row-phase-pair kernels of shape (3,4,Cin,2*Cout) — one per output row
+    parity qy. Output channel qx*Cout+co of pair qy is the full-res output
+    pixel (2i+qy, 2j+qx).
+
+    vs the single packed (4,4,Cin,4*Cout) kernel (_phase_packed_weight):
+    each pair kernel is 3 rows instead of 4, dropping the all-zero row the
+    other parity needs — 2*(3*4)/(4*4) = 25% fewer MACs for the same
+    exact arithmetic (the removed taps are structural zeros, so s32
+    accumulation is unchanged). Pair qy=0 convolves with row padding
+    (1,0); qy=1 with (0,1); both with column padding (1,1).
+    """
+    kh, kw, cin, cout = w.shape
+    pairs = []
+    for qy in range(2):
+        ws = jnp.zeros((kh, kw + 1, cin, 2 * cout), w.dtype)
+        for qx in range(2):
+            ws = ws.at[:, qx:qx + kw, :, qx * cout:(qx + 1) * cout].add(w)
+        pairs.append(ws)
+    return pairs
+
+
+def _phase_pair_weights_colsplit(w: jnp.ndarray) -> jnp.ndarray:
+    """Lift a 3x3 stride-1 kernel (3,3,Cin,Cout) to consume the
+    column-deinterleaved planar layout the Pallas conv0 kernel emits
+    (ops/pallas/conv0_kernel.py): input (B, H, W/2, 2*Cin) where
+    column-pair jj holds [planar col 2jj | 2jj+1].
+
+    Returns ONE (3,3,2*Cin,2*Cout) kernel used by BOTH row-phase-pair
+    convs (stride (2,1); pair qy differs only in row padding (1-qy, qy)).
+    Output channel qx*Cout+co is the full-res conv output at planar
+    column 2j+qx. Column tap dx reads pair jj+dx-1 (pad (1,1)):
+      qx=0: col 2j-1 = (dx0, odd), 2j = (dx1, even), 2j+1 = (dx1, odd)
+      qx=1: col 2j   = (dx1, even), 2j+1 = (dx1, odd), 2j+2 = (dx2, even)
+    12 of 18 (dx, half) cells carry weight -> 294912 MACs per packed
+    output position (vs 262144 packed, 196608 planar-pair) — the 12%
+    overhead is bought back thirty-fold by conv0 leaving the XLA path.
+    """
+    kh, kw, cin, cout = w.shape
+    ws = jnp.zeros((kh, kw, 2 * cin, 2 * cout), w.dtype)
+    ws = ws.at[:, 0, cin:, :cout].add(w[:, 0])
+    ws = ws.at[:, 1, :cin, :cout].add(w[:, 1])
+    ws = ws.at[:, 1, cin:, :cout].add(w[:, 2])
+    ws = ws.at[:, 1, :cin, cout:].add(w[:, 0])
+    ws = ws.at[:, 1, cin:, cout:].add(w[:, 1])
+    ws = ws.at[:, 2, :cin, cout:].add(w[:, 2])
+    return ws
+
+
 def _phase_packed_weight(w: jnp.ndarray) -> jnp.ndarray:
     """Lift a full-res 3x3 stride-1 kernel (3,3,Cin,Cout) to a stride-2
     (4,4,Cin,4*Cout) kernel whose output channel (qy*2+qx)*Cout+co is the
@@ -103,6 +153,15 @@ class VGG16(nn.Module):
     stem_chunk: int = 0
     # Fused Pallas stage-1 kernel (TPU.PALLAS_STEM); TPU backend only.
     pallas_stem: bool = False
+    # int8 static path: fold ReLU+requant into the stem conv epilogues
+    # (TPU.STEM_S8_EPILOGUE); False = fp-intermediate fallback.
+    stem_s8_epilogue: bool = True
+    # int8 static path: split the packed stride-2 conv into two row-phase
+    # pair convs — 25% fewer MACs, bit-exact (TPU.STEM_PAIR_CONV).
+    stem_pair_conv: bool = True
+    # int8 static path: fused Pallas conv0+quantize kernel feeding
+    # col-split pair convs (TPU.PALLAS_CONV0); TPU backend only.
+    pallas_conv0: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -226,11 +285,74 @@ class VGG16(nn.Module):
         # (B,400,672,256) dequant intermediate disappears). The output is
         # a QuantizedActivation consumed directly by the next Conv.
         use_s8 = (
-            self.quant and s0 is not None and s1 is not None
-            and s_out is not None
+            self.quant and self.stem_s8_epilogue and s0 is not None
+            and s1 is not None and s_out is not None
         )
 
+        # Row-phase-pair split of the packed conv: 25% fewer MACs, exact
+        # in s32 accumulation (see _phase_pair_weights). Only used when a
+        # static scale is present so y is quantized once, not per-conv.
+        use_pair = (
+            self.quant and self.stem_pair_conv and s1 is not None
+        )
+        if use_pair:
+            wp = [p.astype(dt) for p in _phase_pair_weights(k1)]
+            b1p = jnp.tile(b1_raw.astype(dt), 2)
+
+        def _pair_phase_max(y, requant_scale=None, relu=False):
+            from ...ops.quant import int8_conv
+
+            zs = [
+                int8_conv(
+                    y, wp[qy], b1p, stride=2,
+                    padding=((1 - qy, qy), (1, 1)), act_scale=s1,
+                    out_quant_scale=requant_scale, fold_relu=relu,
+                )
+                for qy in range(2)
+            ]
+            return jnp.maximum(
+                jnp.maximum(zs[0][..., :ch], zs[0][..., ch:]),
+                jnp.maximum(zs[1][..., :ch], zs[1][..., ch:]),
+            )
+
+        # Pallas conv0+quantize kernel (ops/pallas/conv0_kernel.py): one
+        # fused pass replaces XLA's MXU-starved Cin=3 conv AND the
+        # unfusable full-res quantize pass; bit-exact. The successor
+        # pair convs consume its column-deinterleaved layout via
+        # _phase_pair_weights_colsplit. TPU backend + static scales only.
+        use_pallas_conv0 = (
+            self.quant and self.pallas_conv0 and s0 is not None
+            and s1 is not None and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+            and x.shape[2] % 16 == 0 and x.shape[1] % 16 == 0
+        )
+        if use_pallas_conv0:
+            wcs = _phase_pair_weights_colsplit(k1).astype(dt)
+            b1p2 = jnp.tile(b1_raw.astype(dt), 2)
+
+        def _pallas_body(xc):
+            from ...ops.pallas.conv0_kernel import conv0_s8
+            from ...ops.quant import int8_conv, quantize_activation
+
+            x_q, _ = quantize_activation(xc, s0)
+            y_cd = conv0_s8(x_q, k0.astype(jnp.float32),
+                            b0_raw.astype(jnp.float32), s0, s1, tr=8)
+            zs = [
+                int8_conv(
+                    y_cd, wcs, b1p2, stride=(2, 1),
+                    padding=((1 - qy, qy), (1, 1)), act_scale=s1,
+                )
+                for qy in range(2)
+            ]
+            m = jnp.maximum(
+                jnp.maximum(zs[0][..., :ch], zs[0][..., ch:]),
+                jnp.maximum(zs[1][..., :ch], zs[1][..., ch:]),
+            )
+            return nn.relu(m)
+
         def body(xc):
+            if use_pallas_conv0:
+                return _pallas_body(xc)
             if use_s8:
                 from ...ops.quant import int8_conv
 
@@ -238,12 +360,17 @@ class VGG16(nn.Module):
                     xc, w0, b0, stride=1, padding=((1, 1), (1, 1)),
                     act_scale=s0, out_quant_scale=s1, fold_relu=True,
                 )
+                if use_pair:
+                    return _pair_phase_max(y_q, requant_scale=s_out,
+                                           relu=True)
                 z_q = int8_conv(
                     y_q, w1, b1, stride=2, padding=((1, 1), (1, 1)),
                     act_scale=s1, out_quant_scale=s_out, fold_relu=True,
                 )
                 return _phase_max(z_q)
             y = nn.relu(self._apply_stem_conv(xc, w0, b0, 1, s0))
+            if use_pair:
+                return nn.relu(_pair_phase_max(y))
             z = self._apply_stem_conv(y, w1, b1, 2, s1)
             return nn.relu(_phase_max(z))
 
@@ -261,7 +388,7 @@ class VGG16(nn.Module):
             xs = x.reshape((b // chunk, chunk) + x.shape[1:])
             out = jax.lax.map(body, xs)
             out = out.reshape((b,) + out.shape[2:])
-        if use_s8:
+        if use_s8 and not use_pallas_conv0:
             from ...ops.quant import QuantizedActivation
 
             return QuantizedActivation(out, s_out)

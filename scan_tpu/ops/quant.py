@@ -95,8 +95,9 @@ def int8_conv(x, kernel, bias=None, stride: int = 1, padding="SAME",
         x_scale = jnp.maximum(act_scale.astype(jnp.float32), 1e-8)
     else:
         x_q, x_scale = quantize_activation(x, act_scale)
+    strides = (stride, stride) if isinstance(stride, int) else stride
     acc = lax.conv_general_dilated(
-        x_q, w_q, (stride, stride), padding,
+        x_q, w_q, strides, padding,
         dimension_numbers=lax.conv_dimension_numbers(
             x.shape, kernel.shape, _DN
         ),

@@ -199,3 +199,42 @@ def test_aspect_ratio_grouping(tmp_path):
             oh, ow = b["sizes"][s]
             hs.add(oh > ow)
         assert len(hs) == 1  # no mixed orientation inside a batch
+
+
+def _rand_cfg():
+    """Config with real train-time randomness: size range + flip."""
+    cfg = _small_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (80, 96)
+    cfg.INPUT.HORIZONTAL_FLIP_PROB_TRAIN = 0.5
+    return cfg
+
+
+def test_loader_deterministic_across_thread_counts(tiny_coco):
+    """Transform draws are keyed by (seed, iteration, slot), so the
+    batch stream must be identical under any prefetch-thread schedule."""
+    ann, img_dir = tiny_coco
+    ds = COCODataset(ann, img_dir, remove_images_without_annotations=True)
+    cfg = _rand_cfg()
+    runs = []
+    for threads in (1, 3):
+        loader = DetectionLoader(ds, cfg, True, 2, max_iters=6,
+                                 num_threads=threads)
+        runs.append(list(loader))
+    for a, b in zip(*runs):
+        for k in ("images", "sizes", "boxes", "labels", "mask"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_loader_start_iter_resumes_exact_stream(tiny_coco):
+    """start_iter=k yields exactly the tail of the full stream —
+    indices AND transform draws (reference IterationBasedBatchSampler,
+    fcos_core/data/build.py:86-104 + make_data_loader(start_iter))."""
+    ann, img_dir = tiny_coco
+    ds = COCODataset(ann, img_dir, remove_images_without_annotations=True)
+    cfg = _rand_cfg()
+    full = list(DetectionLoader(ds, cfg, True, 2, max_iters=7))
+    tail = list(DetectionLoader(ds, cfg, True, 2, max_iters=7, start_iter=3))
+    assert len(full) == 7 and len(tail) == 4
+    for a, b in zip(full[3:], tail):
+        for k in ("images", "sizes", "boxes", "labels", "mask"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -115,3 +115,78 @@ def test_e2e_da_training(tmp_path):
     np.testing.assert_allclose(
         np.asarray(proto.prototype), np.asarray(proto2.prototype)
     )
+
+
+@pytest.mark.slow
+def test_resume_continuation_equivalence(tmp_path):
+    """Kill/resume must be invisible: 4 straight iterations == 2
+    iterations + checkpoint + restore + 2 more (params, opt state and
+    prototypes all exactly equal). Relies on the loader's start_iter
+    skip and the (seed, iteration, slot)-keyed transform draws.
+    Reference: fcos_core checkpoint 'arguments' resume,
+    engine/trainer.py:146 + data/build.py make_data_loader(start_iter)."""
+    cfg = get_default_cfg()
+    cfg.merge_from_file(C2F)
+    cfg.INPUT.MIN_SIZE_RANGE_TRAIN = (-1, -1)
+    cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 128
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.VAL_ITER = 100  # no in-loop val: gate stays off either way
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    cfg.TPU.MAX_NODES = 64
+    cfg.TPU.MAX_TARGET_POINTS = 64
+    cfg.TPU.MAX_BOXES = 10
+    cfg.TPU.LOADER_THREADS = 2
+
+    ann_s, img_s = make_synth_coco(str(tmp_path / "src"), seed=0)
+    ann_t, img_t = make_synth_coco(str(tmp_path / "tgt"), seed=1)
+    ds_s = COCODataset(ann_s, img_s, remove_images_without_annotations=True)
+    ds_t = COCODataset(ann_t, img_t, remove_images_without_annotations=True)
+
+    detector = build_detector(cfg)
+    sample_loader = DetectionLoader(ds_s, cfg, True, 2, max_iters=1)
+    H, W = sample_loader.bucket_hw
+    sample = jnp.zeros((1, H, W, 3), jnp.float32)
+    optimizer = None
+    step = None
+
+    def run(max_iter, start_iter, params, opt_state, proto, ckpt):
+        nonlocal optimizer, step
+        cfg.SOLVER.MAX_ITER = max_iter
+        ls = DetectionLoader(ds_s, cfg, True, 2, max_iters=max_iter,
+                             start_iter=start_iter)
+        lt = DetectionLoader(ds_t, cfg, True, 2, max_iters=max_iter,
+                             start_iter=start_iter, seed=1235)
+        return do_train_da(
+            cfg, detector, step, params, opt_state, proto,
+            ls, lt, None, ckpt, start_iter=start_iter,
+        )
+
+    # straight 4-iteration run
+    cfg.OUTPUT_DIR = str(tmp_path / "straight")
+    params0, proto0 = detector.init_params(jax.random.PRNGKey(0), sample)
+    optimizer = make_optimizer(cfg, params0)
+    step = make_da_train_step(detector, optimizer)
+    opt0 = optimizer.init(params0)
+    ckpt_a = Checkpointer(cfg.OUTPUT_DIR, detector)
+    p_a, o_a, pr_a, _ = run(4, 0, params0, opt0, proto0, ckpt_a)
+
+    # interrupted run: 2 iters, drop state, restore, 2 more
+    cfg.OUTPUT_DIR = str(tmp_path / "resumed")
+    ckpt_b = Checkpointer(cfg.OUTPUT_DIR, detector)
+    run(2, 0, params0, opt0, proto0, ckpt_b)
+    params_r, proto_r = detector.init_params(jax.random.PRNGKey(9), sample)
+    opt_r = optimizer.init(params_r)
+    params_r, proto_r, opt_r, it = ckpt_b.load("", params_r, proto_r, opt_r)
+    assert it == 2
+    p_b, o_b, pr_b, _ = run(4, it, params_r, opt_r, proto_r, ckpt_b)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(o_a),
+                    jax.tree_util.tree_leaves(o_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(pr_a.prototype), np.asarray(pr_b.prototype)
+    )

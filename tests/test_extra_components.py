@@ -1,6 +1,8 @@
 """Tests for auxiliary components: deform conv, MobileNetV2, target-sampling
 variants, expected-results checker, ROI ops."""
 
+import os
+
 import pytest
 import numpy as np
 import jax
@@ -249,3 +251,55 @@ def test_list_dataset(tmp_path):
     np.testing.assert_allclose(boxes, [[0, 0, 47, 31]])
     assert labels.tolist() == [1]
     assert ds.load_image(0).shape == (32, 48, 3)
+
+
+def test_instances2dict_with_polygons(tmp_path):
+    """Pure-numpy instanceIds.png ingestion (reference
+    tools/cityscapes/instances2dict_with_polygons.py:19-71): contours
+    cover each instance, pixelCount exact, semantic pixels skipped."""
+    import sys as _sys
+
+    tools_dir = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "cityscapes"
+    )
+    _sys.path.insert(0, tools_dir)
+    try:
+        from instances2dict_with_polygons import (
+            external_contours, instances2dict_with_polygons,
+        )
+    finally:
+        _sys.path.pop(0)
+
+    from PIL import Image as PILImage
+
+    img = np.zeros((40, 60), np.int32)
+    img[:] = 7 * 1  # 'road' semantic pixels (no instance)
+    img[5:15, 10:30] = 26000  # car instance 0
+    img[20:35, 40:55] = 26001  # car instance 1
+    img[18:22, 2:6] = 24000  # person instance
+    p = tmp_path / "x_gtFine_instanceIds.png"
+    PILImage.fromarray(img, mode="I").save(p)
+
+    out = instances2dict_with_polygons(str(p))
+    inst = out[os.path.abspath(str(p))]
+    cars = inst["car"]
+    assert len(cars) == 2
+    assert {c["instID"] for c in cars} == {26000, 26001}
+    c0 = next(c for c in cars if c["instID"] == 26000)
+    assert c0["pixelCount"] == 10 * 20
+    assert len(c0["contours"]) == 1
+    xs, ys = c0["contours"][0][0::2], c0["contours"][0][1::2]
+    assert (min(xs), min(ys), max(xs), max(ys)) == (10, 5, 29, 14)
+    # boundary trace visits every corner of the rectangle
+    pts = set(zip(xs, ys))
+    assert {(10, 5), (29, 5), (29, 14), (10, 14)} <= pts
+    assert len(inst["person"]) == 1
+    # 'road' never appears as an instance
+    assert inst["road"] == []
+
+    # two disjoint components under one instance id -> two contours
+    m = np.zeros((10, 10), bool)
+    m[1:3, 1:3] = True
+    m[6:9, 6:9] = True
+    cs = external_contours(m)
+    assert len(cs) == 2

@@ -81,6 +81,36 @@ def test_s8_stem_chunking_invariant(chunk):
         )
 
 
+def test_pair_conv_exact_vs_packed():
+    """The two row-phase-pair stride-2 convs (25% fewer MACs) must be
+    bit-exact vs the single packed conv in the static int8 path — the
+    dropped taps are structural zeros in s32 accumulation."""
+    x = _x()
+    m_pair = VGG16(s2d_stage1=True, quant=True, width_div=8,
+                   stem_pair_conv=True)
+    m_pack = VGG16(s2d_stage1=True, quant=True, width_div=8,
+                   stem_pair_conv=False)
+    v = _calibrated(m_pack, x)
+    outs_pair = m_pair.apply(v, x)
+    outs_pack = m_pack.apply(v, x)
+    for lvl in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(outs_pair[lvl]), np.asarray(outs_pack[lvl]), err_msg=str(lvl)
+        )
+
+
+def test_pair_conv_exact_vs_packed_s8_epilogue():
+    x = _x()
+    m_pair = VGG16(s2d_stage1=True, quant=True, width_div=8,
+                   stem_pair_conv=True, stem_s8_epilogue=True)
+    m_pack = VGG16(s2d_stage1=True, quant=True, width_div=8,
+                   stem_pair_conv=False, stem_s8_epilogue=True)
+    v = _calibrated(m_pack, x)
+    np.testing.assert_array_equal(
+        np.asarray(m_pair.apply(v, x)[0]), np.asarray(m_pack.apply(v, x)[0])
+    )
+
+
 def test_quantized_activation_pytree():
     qa = QuantizedActivation(
         jnp.ones((2, 4, 4, 8), jnp.int8), jnp.float32(0.5)

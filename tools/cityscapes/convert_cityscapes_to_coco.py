@@ -16,6 +16,7 @@ import argparse
 import glob
 import json
 import os
+import sys
 
 INSTANCE_CLASSES = [
     "person", "rider", "car", "truck", "bus", "train", "motorcycle", "bicycle",
@@ -30,6 +31,46 @@ def polygon_bbox(polygon):
     return [x1, y1, x2 - x1, y2 - y1]
 
 
+def convert_instance_ids(files, args, cat_map):
+    """Ingest ``*_gtFine_instanceIds.png`` masks instead of the polygon
+    JSONs (reference ``tools/cityscapes/instances2dict_with_polygons.py`` +
+    ``convert_cityscapes_to_coco.py`` Detectron-style path). Boundary
+    polygons are traced from the masks; bbox from the trace, area from
+    the pixel count."""
+    from instances2dict_with_polygons import instances2dict_with_polygons
+
+    from PIL import Image
+
+    images, annotations = [], []
+    ann_id = 1
+    for img_id, path in enumerate(files, 1):
+        city = os.path.basename(os.path.dirname(path))
+        stem = os.path.basename(path).replace("_gtFine_instanceIds.png", "")
+        file_name = os.path.join(city, stem + args.img_suffix)
+        if args.img_dir:
+            file_name = os.path.join(args.img_dir, file_name)
+        w, h = Image.open(path).size
+        images.append(dict(id=img_id, file_name=file_name, height=h, width=w))
+        inst = instances2dict_with_polygons(path)[os.path.abspath(path)]
+        for label, objs in inst.items():
+            if label not in cat_map:
+                continue
+            for obj in objs:
+                polys = [p for p in obj.get("contours", []) if len(p) >= 6]
+                if not polys:
+                    continue
+                xs = [v for p in polys for v in p[0::2]]
+                ys = [v for p in polys for v in p[1::2]]
+                bbox = [min(xs), min(ys), max(xs) - min(xs), max(ys) - min(ys)]
+                annotations.append(dict(
+                    id=ann_id, image_id=img_id, category_id=cat_map[label],
+                    bbox=bbox, area=obj["pixelCount"], iscrowd=0,
+                    segmentation=polys,
+                ))
+                ann_id += 1
+    return images, annotations
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--gt-dir", required=True,
@@ -39,10 +80,27 @@ def main():
     parser.add_argument("--out", required=True)
     parser.add_argument("--car-only", action="store_true")
     parser.add_argument("--img-suffix", default="_leftImg8bit.png")
+    parser.add_argument("--from-instance-ids", action="store_true",
+                        help="read *_gtFine_instanceIds.png masks instead "
+                             "of the gtFine polygon JSONs")
     args = parser.parse_args()
 
     classes = ["car"] if args.car_only else INSTANCE_CLASSES
     cat_map = {name: i + 1 for i, name in enumerate(classes)}
+
+    if args.from_instance_ids:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        files = sorted(glob.glob(
+            os.path.join(args.gt_dir, "*", "*_gtFine_instanceIds.png")
+        ))
+        images, annotations = convert_instance_ids(files, args, cat_map)
+        categories = [dict(id=i, name=n) for n, i in cat_map.items()]
+        with open(args.out, "w") as f:
+            json.dump(dict(images=images, annotations=annotations,
+                           categories=categories), f)
+        print(f"wrote {args.out}: {len(images)} images, "
+              f"{len(annotations)} boxes, {len(categories)} classes")
+        return
 
     images, annotations = [], []
     ann_id = 1

@@ -63,6 +63,7 @@ def main():
         cfg.MODEL.WEIGHT if not cfg.MODEL.WEIGHT.startswith("http") else "",
         params, proto_state, opt_state,
     )
+    loader.start_iter = start_iter  # resume: skip into the stream
     mesh = None
     n_dev = len(jax.devices())
     if n_dev > 1 and cfg.SOLVER.IMS_PER_BATCH % n_dev == 0:

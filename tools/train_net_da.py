@@ -87,6 +87,11 @@ def main():
         params, proto_state, opt_state,
     )
 
+    # resume mid-schedule: the loaders skip to the restored iteration so
+    # the stream matches what an uninterrupted run would have seen
+    # (reference make_data_loader(start_iter), data/build.py:107-127)
+    loader_src.start_iter = start_iter
+
     loader_val = make_data_loader_test(cfg)
 
     # data-parallel mesh over every visible chip (reference wires DDP into
@@ -121,7 +126,7 @@ def main():
 
         tb_logger = TensorboardLogger(os.path.join(cfg.OUTPUT_DIR, "tb"))
 
-    loader_tgt = make_data_loader_target(cfg)
+    loader_tgt = make_data_loader_target(cfg, start_iter=start_iter)
     train_step = build_da_train_step(detector, optimizer, mesh=mesh)
     do_train_da(
         cfg, detector, train_step, params, opt_state, proto_state,
