@@ -449,6 +449,11 @@ _C.TPU.COMPUTE_DTYPE = "float32"
 _C.TPU.MESH_DP = -1
 # Number of host data-loading worker threads.
 _C.TPU.LOADER_THREADS = 8
+# Eval-time inference chaining: stack this many loader batches into ONE
+# device dispatch (lax.map over the leading axis). Per-dispatch host cost
+# (~30 ms through a remote TPU relay) otherwise starves the chip between
+# batches; k=8 measures 196 img/s vs 169 per-batch on one v5e. 1 = off.
+_C.TPU.INFER_CHAIN = 1
 # Use the Pallas VMEM NMS kernel instead of the XLA fori_loop one.
 _C.TPU.USE_PALLAS_NMS = False
 # Combined candidate cap entering NMS (the reference NMS-es all ~5000

@@ -43,8 +43,20 @@ def _make_forward(detector, mesh=None, batch_size: int = 0):
 def compute_predictions(detector, params, proto_state, data_loader,
                         progress_every: int = 50, mesh=None) -> Dict[int, dict]:
     """Runs the model over an eval loader; returns index -> prediction dict
-    (boxes xyxy in ORIGINAL image coordinates, scores, labels)."""
+    (boxes xyxy in ORIGINAL image coordinates, scores, labels).
+
+    With ``TPU.INFER_CHAIN`` > 1, consecutive loader batches are stacked on
+    a leading axis and run through ONE device dispatch
+    (``detector.forward_inference_multi``) — per-dispatch host latency
+    through a remote TPU relay otherwise starves the chip between batches.
+    A short tail (fewer than chain batches) falls back to per-batch calls."""
+    chain = max(1, int(detector.cfg.TPU.INFER_CHAIN))
+    if mesh is not None and mesh.size > 1:
+        chain = 1  # sharded eval: GSPMD partitions per-batch dispatches
     fwd = _make_forward(detector, mesh, data_loader.batch_size)
+    fwd_multi = jax.jit(
+        lambda p, s, im, sz: detector.forward_inference_multi(p, s, im, sz)
+    )
     predictions: Dict[int, dict] = {}
     t0 = time.time()
     n_img = 0
@@ -67,17 +79,38 @@ def compute_predictions(detector, params, proto_state, data_loader,
 
     # software pipeline: dispatch batch i+1 before fetching batch i so the
     # host-side decode/collect overlaps device execution
-    pending = None
+    pending = []
+
+    def drain(keep=0):
+        while len(pending) > keep:
+            collect(*pending.pop(0))
+
+    def dispatch_group(group):
+        if len(group) == chain and chain > 1:
+            im = np.stack([b["images"] for b in group])
+            sz = np.stack([b["sizes"] for b in group])
+            outs = fwd_multi(params, proto_state, im, sz)
+            for k, b in enumerate(group):
+                pending.append((jax.tree_util.tree_map(
+                    lambda a, k=k: a[k], outs), b))
+        else:  # short tail: per-batch dispatch avoids a second compile
+            for b in group:
+                pending.append((fwd(params, proto_state,
+                                    b["images"], b["sizes"]), b))
+        drain(keep=len(group))
+
+    group = []
     for bi, batch in enumerate(data_loader):
-        out_dev = fwd(params, proto_state, batch["images"], batch["sizes"])
-        if pending is not None:
-            collect(*pending)
-        pending = (out_dev, batch)
+        group.append(batch)
+        if len(group) == chain:
+            dispatch_group(group)
+            group = []
         if progress_every and (bi + 1) % progress_every == 0:
             rate = max(n_img, 1) / (time.time() - t0)
             logger.info("eval batch %d (%.1f img/s)", bi + 1, rate)
-    if pending is not None:
-        collect(*pending)
+    if group:
+        dispatch_group(group)
+    drain()
     dt = time.time() - t0
     if n_img:
         logger.info("inference done: %d images in %.1fs (%.2f img/s)",

@@ -408,6 +408,21 @@ class SCANDetector:
             out["middle_head"] = mh_vars
         return out
 
+    def forward_inference_multi(self, params, proto_state, images, image_sizes):
+        """Chained inference: run k batches stacked on a leading axis
+        (images (k,B,H,W,3), sizes (k,B,2)) through ONE device dispatch via
+        ``lax.map``. Per-call dispatch through a remote TPU relay costs
+        ~30 ms of host time that the async queue does not hide on a
+        single-core host (measured: batch-32 inference 169 img/s dispatched
+        per-batch vs ~200 img/s chained, = the XProf device-busy rate);
+        chaining amortises it k-fold. Ship images as uint8 so the stack
+        stays small in HBM (normalisation runs on device, `_prep_images`).
+        Outputs come back stacked (k, B, ...)."""
+        return jax.lax.map(
+            lambda args: self.forward_inference(params, proto_state, *args),
+            (images, image_sizes),
+        )
+
     def forward_inference(self, params, proto_state, images, image_sizes):
         """Eval path (reference trainer.py foward_detector eval branch +
         fcos.py TEST.MODE mixing)."""

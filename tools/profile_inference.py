@@ -70,6 +70,11 @@ def main():
     rng = np.random.RandomState(0)
     batch_images = jnp.asarray(rng.randn(args.batch, h, w, 3).astype(np.float32) * 30 + 100)
     sizes = jnp.asarray([[800, 1333]] * args.batch, jnp.int32)
+    if cfg.TPU.INT8_INFERENCE:
+        # static activation scales — profile the same deployment mode as
+        # bench.py/test_net.py (the dynamic per-batch path keeps full-res
+        # f32 intermediates alive and OOMs at batch 32)
+        params = det.calibrate_int8(params, proto, [batch_images[:16]])
 
     @jax.jit
     def backbone_only(p, im):
