@@ -46,13 +46,28 @@ def _level_candidates(cfg, locations, box_cls, box_regression, centerness):
     ctr = jax.nn.sigmoid(centerness)
     ranked = scores * ctr[:, None]  # cls * ctr, the reference's ranking score
 
-    flat_rank = jnp.where(candidate, ranked, NEG_INF).reshape(-1)
-    k = min(cfg.pre_nms_top_n, flat_rank.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_rank, k)
-
+    masked = jnp.where(candidate, ranked, NEG_INF)
     num_loc, num_cls = scores.shape
-    loc_idx = top_idx // num_cls
-    cls_idx = top_idx % num_cls + 1  # 1-based labels
+    k = min(cfg.pre_nms_top_n, num_loc * num_cls)
+    if num_loc > k and num_cls > 1:
+        # Exact two-stage top-k: any (loc, cls) pair in the global top-k
+        # has loc_max >= its score, so its location is in the top-k
+        # locations by per-location class max — sorting num_loc + k*C
+        # elements instead of num_loc*C (the P3 full sort was 3.1 ms of
+        # a 158 ms batch-32 step; this is ~0.9 ms). Tie ORDER among
+        # equal scores can differ from the single-sort path; box-parity
+        # tests pass (real-valued scores make exact ties measure-zero).
+        loc_max = jnp.max(masked, axis=1)
+        _, top_loc = jax.lax.top_k(loc_max, k)
+        sub = masked[top_loc].reshape(-1)  # (k*C,)
+        top_scores, sub_idx = jax.lax.top_k(sub, k)
+        loc_idx = top_loc[sub_idx // num_cls]
+        cls_idx = sub_idx % num_cls + 1  # 1-based labels
+    else:
+        flat_rank = masked.reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(flat_rank, k)
+        loc_idx = top_idx // num_cls
+        cls_idx = top_idx % num_cls + 1  # 1-based labels
 
     locs = locations[loc_idx]
     regs = box_regression[loc_idx]
