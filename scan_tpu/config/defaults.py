@@ -505,6 +505,14 @@ _C.TPU.PALLAS_STEM = False
 # (checkpoint-compatible). >1 shrinks the backbone through the identical
 # code paths — used by compile/sharding dryruns on weak CPU hosts.
 _C.TPU.VGG_WIDTH_DIV = 1
+# Convs per VGG stage. [] = the real VGG-16 layout (2,2,3,3,3). Shorter
+# stages (e.g. [1,1,1,1,1]) shrink the HLO graph through the identical
+# stage/freeze/FPN-tap code paths — compile/sharding dryruns only.
+_C.TPU.VGG_STAGE_BLOCKS = []
+# FPN extra-level block: "p6p7" (reference RetinaNet/FCOS layout),
+# "maxpool", or "none". Dryruns use "none" (with a matching shorter
+# MODEL.FCOS.FPN_STRIDES) to cut per-level graph replication.
+_C.TPU.FPN_TOP_BLOCK = "p6p7"
 
 
 def get_default_cfg():

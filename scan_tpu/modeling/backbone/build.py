@@ -61,11 +61,19 @@ def build_vgg_fpn_backbone(cfg, dtype=None):
             # runs poorly on the XLA:CPU backend used by the test mesh.
             s2d_stage1=bool(cfg.TPU.S2D_STEM)
             and jax.default_backend() != "cpu",
+            **(
+                {"stage_blocks": tuple(cfg.TPU.VGG_STAGE_BLOCKS)}
+                if cfg.TPU.get("VGG_STAGE_BLOCKS") else {}
+            ),
         ),
         fpn_kwargs=dict(
             in_features=(2, 3, 4),
             out_channels=256,
-            top_block="p6p7",
+            top_block=(
+                None
+                if cfg.TPU.get("FPN_TOP_BLOCK", "p6p7") == "none"
+                else cfg.TPU.get("FPN_TOP_BLOCK", "p6p7")
+            ),
             use_gn=cfg.MODEL.FPN.USE_GN,
             use_relu=cfg.MODEL.FPN.USE_RELU,
             use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,

@@ -162,6 +162,11 @@ class VGG16(nn.Module):
     # int8 static path: fused Pallas conv0+quantize kernel feeding
     # col-split pair convs (TPU.PALLAS_CONV0); TPU backend only.
     pallas_conv0: bool = False
+    # Convs per stage (TPU.VGG_STAGE_BLOCKS). The real VGG-16 is
+    # (2, 2, 3, 3, 3); dryruns shrink it through the identical stage
+    # layout/freeze/tap code paths. The s2d stem requires the real
+    # 2-conv stage 1 (it is TPU-only; dryruns run on the CPU backend).
+    stage_blocks: tuple = VGG16_STAGE_BLOCKS
 
     @nn.compact
     def __call__(self, x):
@@ -171,11 +176,11 @@ class VGG16(nn.Module):
             max(8, c // self.width_div) for c in VGG16_STAGE_CHANNELS
         )
         for stage, (blocks, ch) in enumerate(
-            zip(VGG16_STAGE_BLOCKS, channels)
+            zip(self.stage_blocks, channels)
         ):
             if stage == 0 and self.s2d_stage1 and not self.with_bn:
                 x = self._stage1_s2d(x)
-                idx += VGG16_STAGE_BLOCKS[0]
+                idx += self.stage_blocks[0]
             else:
                 for b in range(blocks):
                     x = Conv(ch, 3, dtype=self.dtype, quant=self.quant,
