@@ -513,6 +513,11 @@ _C.TPU.VGG_STAGE_BLOCKS = []
 # "maxpool", or "none". Dryruns use "none" (with a matching shorter
 # MODEL.FCOS.FPN_STRIDES) to cut per-level graph replication.
 _C.TPU.FPN_TOP_BLOCK = "p6p7"
+# Backbone stage indices the FPN consumes. [] = the reference VGG layout
+# (C3,C4,C5 = stages 2,3,4). Shorter lists (e.g. [2, 3] with a matching
+# MODEL.FCOS.FPN_STRIDES) cut per-level head/discriminator graph
+# replication — compile/sharding dryruns only.
+_C.TPU.FPN_IN_FEATURES = []
 
 
 def get_default_cfg():

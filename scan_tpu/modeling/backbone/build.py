@@ -67,7 +67,7 @@ def build_vgg_fpn_backbone(cfg, dtype=None):
             ),
         ),
         fpn_kwargs=dict(
-            in_features=(2, 3, 4),
+            in_features=tuple(cfg.TPU.get("FPN_IN_FEATURES") or (2, 3, 4)),
             out_channels=256,
             top_block=(
                 None
