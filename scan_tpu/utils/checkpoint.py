@@ -42,6 +42,12 @@ class Checkpointer:
             tree["opt_state"] = opt_state
         if extra:
             tree["extra"] = extra
+        # One batched device->host fetch before handing the tree to orbax:
+        # orbax otherwise pulls leaf-by-leaf, and per-leaf fetches through
+        # a relayed TPU client pay full dispatch latency each (measured:
+        # a model_final save over the axon relay ranged 14 s .. 13 min;
+        # batched it is bounded by bandwidth, not round-trips).
+        tree = jax.device_get(tree)
         self._ckptr.save(path, tree, force=True)
         # StandardCheckpointer.save is async; block until the files are on
         # disk so a process exiting right after save() (e.g. model_final at
