@@ -192,6 +192,8 @@ def main():
         cfg.TPU.STEM_PAIR_CONV = os.environ["BENCH_STEM_PAIR"] == "1"
     if os.environ.get("BENCH_PALLAS_CONV0"):
         cfg.TPU.PALLAS_CONV0 = os.environ["BENCH_PALLAS_CONV0"] == "1"
+    if os.environ.get("BENCH_PALLAS_PHASEMAX"):
+        cfg.TPU.PALLAS_PHASE_MAX = os.environ["BENCH_PALLAS_PHASEMAX"] == "1"
     if os.environ.get("BENCH_NMS_CAP"):
         cfg.TPU.NMS_CAP = int(os.environ["BENCH_NMS_CAP"])
     if os.environ.get("BENCH_PRE_NMS_TOP_N"):

@@ -497,6 +497,11 @@ _C.TPU.STEM_PAIR_CONV = False
 # Cin=3 conv XLA runs at ~9.5 TF/s plus an unfusable full-res quantize
 # pass); bit-exact (tests/test_conv0_kernel.py). TPU backend only.
 _C.TPU.PALLAS_CONV0 = False
+# One Pallas pass for the stem's phase-max + ReLU + successor requant
+# (XLA pays a ~45%-of-BW slice-max loop plus a separate quantize pass;
+# the kernel does both at the HBM floor, bit-exact —
+# tests/test_phase_max_kernel.py). TPU backend + static scales only.
+_C.TPU.PALLAS_PHASE_MAX = True
 # Fused Pallas stage-1 stem kernel (both convs + pool in VMEM, no
 # full-res HBM intermediates). TPU backend only; falls back to the XLA
 # s2d stem elsewhere and during int8 calibration.

@@ -162,6 +162,9 @@ class VGG16(nn.Module):
     # int8 static path: fused Pallas conv0+quantize kernel feeding
     # col-split pair convs (TPU.PALLAS_CONV0); TPU backend only.
     pallas_conv0: bool = False
+    # int8 static path: one Pallas pass for phase-max + ReLU + the
+    # successor requant (TPU.PALLAS_PHASE_MAX); TPU backend only.
+    pallas_phase_max: bool = False
     # Convs per stage (TPU.VGG_STAGE_BLOCKS). The real VGG-16 is
     # (2, 2, 3, 3, 3); dryruns shrink it through the identical stage
     # layout/freeze/tap code paths. The s2d stem requires the real
@@ -335,6 +338,19 @@ class VGG16(nn.Module):
             wcs = _phase_pair_weights_colsplit(k1).astype(dt)
             b1p2 = jnp.tile(b1_raw.astype(dt), 2)
 
+        # One Pallas pass for phase-max + ReLU + the successor's requant:
+        # XLA will not fuse round/clip-to-s8 into a conv fusion, so the
+        # shipping path pays a ~45%-of-BW slice-max loop (13.5 ms/batch32)
+        # PLUS the next conv's quantize pass; the kernel replaces both at
+        # the HBM floor (ops/pallas/phase_max_kernel.py). Bit-exact.
+        use_pmax_kernel = (
+            self.quant and self.pallas_phase_max and s1 is not None
+            and s_out is not None and not use_s8 and not use_pair
+            and not use_pallas_conv0 and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        s_out_q = jnp.maximum(s_out, 1e-8) if use_pmax_kernel else None
+
         def _pallas_body(xc):
             from ...ops.pallas.conv0_kernel import conv0_s8
             from ...ops.quant import int8_conv, quantize_activation
@@ -377,6 +393,10 @@ class VGG16(nn.Module):
             if use_pair:
                 return nn.relu(_pair_phase_max(y))
             z = self._apply_stem_conv(y, w1, b1, 2, s1)
+            if use_pmax_kernel:
+                from ...ops.pallas.phase_max_kernel import phase_max_requant
+
+                return phase_max_requant(z, s_out_q)
             return nn.relu(_phase_max(z))
 
         chunk = int(self.stem_chunk)
@@ -397,6 +417,10 @@ class VGG16(nn.Module):
             from ...ops.quant import QuantizedActivation
 
             return QuantizedActivation(out, s_out)
+        if use_pmax_kernel:
+            from ...ops.quant import QuantizedActivation
+
+            return QuantizedActivation(out, s_out_q)
         return out
 
     def _stem_scale(self, scale_name, calib_input):
