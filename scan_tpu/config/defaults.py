@@ -358,6 +358,11 @@ _C.MODEL.MIDDLE_HEAD.COND_HIDDEN_CHANNEL = 512
 _C.MODEL.MIDDLE_HEAD.TARGET_SAMPLING_CFG = "score_threshold"
 _C.MODEL.MIDDLE_HEAD.DBSCAN_EPS = 3
 _C.MODEL.MIDDLE_HEAD.DBSCAN_THR = 0.05
+# Train-time dropout inside the global-GCN multi-head attention. The
+# reference hardcodes MultiHeadAttention(256, 4, dropout=0.1)
+# (condgraph.py:205, transformer.py:36-91); exposed here with the same
+# default. Applies only when a 'dropout' rng is threaded (training).
+_C.MODEL.MIDDLE_HEAD.ATT_DROPOUT = 0.1
 
 # ---------------------------------------------------------------------------
 # SOLVER

@@ -16,9 +16,10 @@ from ..modeling.detector import SCANDetector
 from .train_step import make_da_train_step, make_source_only_train_step
 
 
-def _shard_mapped(bound, mesh: Mesh, n_batches: int):
-    """jit(shard_map(bound)): params/opt/proto replicated, batches sharded."""
-    specs = (P(), P(), P()) + (P("dp"),) * n_batches
+def _shard_mapped(bound, mesh: Mesh, n_batches: int, n_extra: int = 0):
+    """jit(shard_map(bound)): params/opt/proto replicated, batches sharded,
+    trailing ``n_extra`` args (e.g. a dropout rng key) replicated."""
+    specs = (P(), P(), P()) + (P("dp"),) * n_batches + (P(),) * n_extra
     return jax.jit(
         jax.shard_map(
             bound, mesh=mesh,
@@ -43,24 +44,33 @@ def make_dp_da_train_step(detector: SCANDetector, optimizer, mesh: Mesh,
     """
     step = make_da_train_step(detector, optimizer, axis_name="dp")
 
-    def variant(ft: bool):
-        def bound(params, opt_state, proto_state, batch_s, batch_t):
-            return step(params, opt_state, proto_state, batch_s, batch_t,
-                        forward_target=ft)
+    def variant(ft: bool, with_rng: bool):
+        if with_rng:
+            def bound(params, opt_state, proto_state, batch_s, batch_t, rng):
+                return step(params, opt_state, proto_state, batch_s, batch_t,
+                            forward_target=ft, rng=rng)
+        else:
+            def bound(params, opt_state, proto_state, batch_s, batch_t):
+                return step(params, opt_state, proto_state, batch_s, batch_t,
+                            forward_target=ft)
 
-        return _shard_mapped(bound, mesh, n_batches=2)
+        return _shard_mapped(bound, mesh, n_batches=2,
+                             n_extra=int(with_rng))
 
     if forward_target is not None:
-        return variant(bool(forward_target))
+        return variant(bool(forward_target), with_rng=False)
 
     variants = {}
 
     def dispatch(params, opt_state, proto_state, batch_s, batch_t,
-                 forward_target: bool = False):
-        ft = bool(forward_target)
-        if ft not in variants:
-            variants[ft] = variant(ft)
-        return variants[ft](params, opt_state, proto_state, batch_s, batch_t)
+                 forward_target: bool = False, rng=None):
+        key = (bool(forward_target), rng is not None)
+        if key not in variants:
+            variants[key] = variant(*key)
+        args = (params, opt_state, proto_state, batch_s, batch_t)
+        if rng is not None:
+            args = args + (rng,)
+        return variants[key](*args)
 
     return dispatch
 

@@ -68,17 +68,22 @@ def make_da_train_step(detector: SCANDetector, optimizer,
     forward_target must be a static python bool at trace time.
     """
 
-    def loss_fn(params, proto_state, batch_s, batch_t, forward_target: bool):
+    def loss_fn(params, proto_state, batch_s, batch_t, forward_target: bool,
+                rng=None):
         metrics = {}
         targets = {
             "boxes": batch_s["boxes"],
             "labels": batch_s["labels"],
             "mask": batch_s["mask"],
         }
+        rng_s = rng_t = None
+        if rng is not None:
+            rng_s, rng_t = jax.random.split(rng)
         # ---- (1) G on source ----
         losses_s, feats_s, act_s, score_maps_s, new_proto = (
             detector.forward_train(
-                params, proto_state, batch_s["images"], targets, "source"
+                params, proto_state, batch_s["images"], targets, "source",
+                rng=rng_s,
             )
         )
         metrics.update({k + "_gs": v for k, v in losses_s.items()})
@@ -95,7 +100,7 @@ def make_da_train_step(detector: SCANDetector, optimizer,
         if detector.cfg.MODEL.DA_ON:
             losses_t, feats_t, act_t, score_maps_t, _ = detector.forward_train(
                 params, new_proto, batch_t["images"], None, "target",
-                forward_target=forward_target,
+                forward_target=forward_target, rng=rng_t,
             )
             metrics.update({k + "_gt": v for k, v in losses_t.items()})
             d_tgt = detector.discriminator_losses(
@@ -110,10 +115,13 @@ def make_da_train_step(detector: SCANDetector, optimizer,
         return total, (metrics, new_proto)
 
     def train_step(params, opt_state, proto_state, batch_s, batch_t,
-                   forward_target: bool = False):
+                   forward_target: bool = False, rng=None):
+        if rng is not None and axis_name is not None:
+            # independent dropout draws per data-parallel replica
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_proto)), grads = grad_fn(
-            params, proto_state, batch_s, batch_t, forward_target
+            params, proto_state, batch_s, batch_t, forward_target, rng
         )
         if axis_name is not None:
             proto_mean = (new_proto.prototype if new_proto is not None
@@ -137,23 +145,25 @@ def make_source_only_train_step(detector: SCANDetector, optimizer,
     """Plain (non-DA) training step (reference trainer.py:153-240 /
     tools/train_net.py)."""
 
-    def loss_fn(params, proto_state, batch):
+    def loss_fn(params, proto_state, batch, rng=None):
         targets = {
             "boxes": batch["boxes"],
             "labels": batch["labels"],
             "mask": batch["mask"],
         }
         losses, _, _, _, new_proto = detector.forward_train(
-            params, proto_state, batch["images"], targets, "source"
+            params, proto_state, batch["images"], targets, "source", rng=rng
         )
         total = sum(losses.values())
         losses["loss_total"] = total
         return total, (losses, new_proto)
 
-    def train_step(params, opt_state, proto_state, batch):
+    def train_step(params, opt_state, proto_state, batch, rng=None):
+        if rng is not None and axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         (loss, (metrics, new_proto)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, proto_state, batch)
+        )(params, proto_state, batch, rng)
         if axis_name is not None:
             proto_mean = (new_proto.prototype if new_proto is not None
                           else None)

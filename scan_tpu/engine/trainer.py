@@ -52,6 +52,16 @@ def do_train_da(
     data_time_acc = 0.0
     window = 0
 
+    # Train-time dropout in the condgraph MHA (reference transformer.py:36-91
+    # trains with p=0.1): draws are deterministic per (seed, iteration) via
+    # fold_in, so resume-from-checkpoint replays the same masks.
+    use_dropout = bool(
+        cfg.MODEL.MIDDLE_HEAD.CONDGRAPH_ON
+        and cfg.MODEL.MIDDLE_HEAD.GLOBAL_GCN
+        and cfg.MODEL.MIDDLE_HEAD.ATT_DROPOUT > 0.0
+    )
+    dropout_base = jax.random.PRNGKey(1234)  # reference setup_seed(1234)
+
     src_iter = iter(loader_source)
     tgt_iter = iter(loader_target)
     for iteration in range(start_iter, max_iter):
@@ -63,9 +73,12 @@ def do_train_da(
         window += 1
 
         forward_target = bool(ap50_emp > cfg.SOLVER.INITIAL_AP50)
+        step_kwargs = {}
+        if use_dropout:
+            step_kwargs["rng"] = jax.random.fold_in(dropout_base, iteration)
         params, opt_state, proto_state, metrics = train_step(
             params, opt_state, proto_state, batch_s, batch_t,
-            forward_target=forward_target,
+            forward_target=forward_target, **step_kwargs,
         )
         it = iteration + 1
 
@@ -97,7 +110,15 @@ def do_train_da(
                 detector, params, proto_state, loader_val, mesh=mesh
             )
             cur = float(results.get(val_type, results.get("AP50", 0.0)))
-            ap50_emp = cur * 100 if cur <= 1.0 else cur
+            # The evaluator reports COCO metrics as FRACTIONS in [0, 1]
+            # (evaluation/coco_eval.py); the gate/threshold space
+            # (SOLVER.INITIAL_AP50, reference trainer.py:350) is PERCENT.
+            # Pin the unit here — one scale, no heuristics.
+            assert 0.0 <= cur <= 1.0, (
+                f"validation metric {val_type}={cur} is not a fraction; "
+                "the evaluator contract (fractions in [0,1]) was broken"
+            )
+            ap50_emp = cur * 100.0
             logger.info("validation @%d: %s=%.4f", it, val_type, ap50_emp)
             if tb_logger is not None:
                 tb_logger.log_scalars({f"val/{val_type}": ap50_emp}, it)

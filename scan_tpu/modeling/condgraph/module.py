@@ -92,6 +92,7 @@ class CondGraphConfig:
     max_nodes: int = 1024
     max_target_candidates: int = 512
     fpn_strides: tuple = (8, 16, 32, 64, 128)
+    mha_dropout: float = 0.1
 
     @property
     def used_classes(self) -> int:
@@ -136,6 +137,7 @@ class CondGraphConfig:
             max_nodes=cfg.TPU.MAX_NODES,
             max_target_candidates=cfg.TPU.MAX_TARGET_POINTS,
             fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+            mha_dropout=float(mh.ATT_DROPOUT),
         )
 
 
@@ -217,7 +219,8 @@ class CondGraph(nn.Module):
             )
         if c.global_gcn:
             self.multihead_attn = MultiHeadSelfAttention(
-                model_dim=256, num_heads=4, name="multihead_attn"
+                model_dim=256, num_heads=4, dropout=c.mha_dropout,
+                name="multihead_attn"
             )
         else:
             self.gcn_layer1 = nn.Dense(

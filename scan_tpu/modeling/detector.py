@@ -260,8 +260,12 @@ class SCANDetector:
 
     # ------------------------------------------------------------------ #
     def forward_train(self, params, proto_state, images, targets, mode: str,
-                      forward_target: bool = False):
+                      forward_target: bool = False, rng=None):
         """One domain's G pass (reference foward_detector, trainer.py:20-72).
+
+        ``rng`` (optional) enables train-time dropout inside the condgraph
+        MHA (reference transformer.py:36-91 trains with p=0.1); without it
+        the pass is deterministic — torch eval() semantics.
 
         Returns (losses, features, act_maps, score_maps, new_proto_state).
         """
@@ -275,6 +279,7 @@ class SCANDetector:
             feats, mh_losses, act_maps, new_state = self.middle_head.apply(
                 params["middle_head"], feats, proto_state, mh_mode,
                 targets if mode == "source" else None,
+                rngs=None if rng is None else {"dropout": rng},
             )
             losses.update(mh_losses)
 

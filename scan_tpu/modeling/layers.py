@@ -210,8 +210,11 @@ class MultiHeadSelfAttention(nn.Module):
     Parity target: reference ``layers/transformer.py:36-91`` — separate
     q/k/v linears, scaled dot-product with the reference's idiosyncratic
     scale ((dim_per_head // num_heads) ** -0.5), output linear, residual +
-    LayerNorm. Dropout is inference-disabled here (the DA loop trains with
-    the default dropout=0.1 but node counts are small; we expose the rate).
+    LayerNorm. Dropout matches the reference placement: on the attention
+    weights after softmax (transformer.py:31) and on the output after
+    linear_final, before the residual+LN (transformer.py:86). It fires only
+    when the caller provides a 'dropout' rng (training); without one the
+    layer is deterministic (eval), mirroring torch train()/eval().
     """
 
     model_dim: int = 256
@@ -219,7 +222,11 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True):
+    def __call__(self, x, mask=None, deterministic=None):
+        if deterministic is None:
+            deterministic = (
+                self.dropout == 0.0 or not self.has_rng("dropout")
+            )
         # x: (N, D) nodes; mask: (N,) validity
         d = self.model_dim
         h = self.num_heads
@@ -245,10 +252,16 @@ class MultiHeadSelfAttention(nn.Module):
             pos_mask = mask[pos // h]  # (h, n)
             attn = jnp.where(pos_mask[:, None, :], attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(rate=self.dropout, name="attn_dropout")(
+            attn, deterministic=deterministic
+        )
         ctx = jnp.einsum("hnm,hmd->hnd", attn, v, preferred_element_type=jnp.float32)
         # inverse raw view (transformer.py:82): (h, n, dh) -> (n, d)
         ctx = ctx.reshape(n, d)
         out = nn.Dense(d, name="linear_final")(ctx)
+        out = nn.Dropout(rate=self.dropout, name="out_dropout")(
+            out, deterministic=deterministic
+        )
         out = nn.LayerNorm(
             epsilon=1e-5, use_fast_variance=False, name="layer_norm"
         )(x + out)
