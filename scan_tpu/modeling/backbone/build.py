@@ -55,7 +55,8 @@ def build_vgg_fpn_backbone(cfg, dtype=None):
             stem_s8_epilogue=bool(cfg.TPU.get("STEM_S8_EPILOGUE", True)),
             stem_pair_conv=bool(cfg.TPU.get("STEM_PAIR_CONV", True)),
             pallas_conv0=bool(cfg.TPU.get("PALLAS_CONV0", False)),
-            pallas_phase_max=bool(cfg.TPU.get("PALLAS_PHASE_MAX", True)),
+            stem_im2col=bool(cfg.TPU.get("STEM_IM2COL_CONV0", False)),
+            pallas_phase_max=bool(cfg.TPU.get("PALLAS_PHASE_MAX", False)),
             # numerics are exactly equal either way (tests/test_s2d_stem),
             # so this is purely an execution-strategy choice: the packed
             # stride-2 stem is a large win on the TPU MXU but compiles and

@@ -165,6 +165,12 @@ class VGG16(nn.Module):
     # int8 static path: one Pallas pass for phase-max + ReLU + the
     # successor requant (TPU.PALLAS_PHASE_MAX); TPU backend only.
     pallas_phase_max: bool = False
+    # int8 path: run the Cin=3 first conv as an explicit im2col matmul
+    # (TPU.STEM_IM2COL_CONV0) — XLA's conv pads the 27-deep contraction
+    # to the full 128-lane tile (~2.8% MXU util, 12.5 ms/batch32); the
+    # 9-tap patch matmul trades one ~1 GB HBM pass for a 9x deeper
+    # contraction. Bit-exact (ops/quant.int8_conv_im2col).
+    stem_im2col: bool = False
     # Convs per stage (TPU.VGG_STAGE_BLOCKS). The real VGG-16 is
     # (2, 2, 3, 3, 3); dryruns shrink it through the identical stage
     # layout/freeze/tap code paths. The s2d stem requires the real
@@ -318,6 +324,20 @@ class VGG16(nn.Module):
                 )
                 for qy in range(2)
             ]
+            # Shipping-path Pallas kernel (TPU.PALLAS_PHASE_MAX): XLA
+            # emits this 4-slice s8 max as a standalone loop fusion at
+            # ~45% of HBM BW (13.5 ms/batch32) because the 64-lane-offset
+            # slices defeat its vectorizer; the kernel does the half-lane
+            # maxes in-register and streams at the HBM floor. Bit-exact
+            # (same max over the same s8 values).
+            if (requant_scale is not None and relu
+                    and self.pallas_phase_max
+                    and not self.is_initializing()
+                    and jax.default_backend() == "tpu"
+                    and 2 * ch == 128):
+                from ...ops.pallas.phase_max_kernel import pair_phase_max_s8
+
+                return pair_phase_max_s8(zs[0], zs[1])
             return jnp.maximum(
                 jnp.maximum(zs[0][..., :ch], zs[0][..., ch:]),
                 jnp.maximum(zs[1][..., :ch], zs[1][..., ch:]),
@@ -338,16 +358,20 @@ class VGG16(nn.Module):
             wcs = _phase_pair_weights_colsplit(k1).astype(dt)
             b1p2 = jnp.tile(b1_raw.astype(dt), 2)
 
-        # One Pallas pass for phase-max + ReLU + the successor's requant:
-        # XLA will not fuse round/clip-to-s8 into a conv fusion, so the
-        # shipping path pays a ~45%-of-BW slice-max loop (13.5 ms/batch32)
-        # PLUS the next conv's quantize pass; the kernel replaces both at
-        # the HBM floor (ops/pallas/phase_max_kernel.py). Bit-exact.
+        # FALLBACK-path Pallas pass for phase-max + ReLU + the successor's
+        # requant (phase_max_requant): reachable only when BOTH
+        # STEM_S8_EPILOGUE and STEM_PAIR_CONV are off (the default config
+        # takes the use_s8/use_pair branches above, where the Pallas
+        # shipping-path kernel is pair_phase_max_s8 inside
+        # _pair_phase_max). Without it that fallback pays a ~45%-of-BW
+        # slice-max loop PLUS the next conv's quantize pass; the kernel
+        # replaces both at the HBM floor. Bit-exact.
         use_pmax_kernel = (
             self.quant and self.pallas_phase_max and s1 is not None
             and s_out is not None and not use_s8 and not use_pair
             and not use_pallas_conv0 and not self.is_initializing()
             and jax.default_backend() == "tpu"
+            and 4 * ch % 128 == 0  # lane guard: shrunken widths fall back
         )
         s_out_q = jnp.maximum(s_out, 1e-8) if use_pmax_kernel else None
 
@@ -375,12 +399,18 @@ class VGG16(nn.Module):
             if use_pallas_conv0:
                 return _pallas_body(xc)
             if use_s8:
-                from ...ops.quant import int8_conv
+                from ...ops.quant import int8_conv, int8_conv_im2col
 
-                y_q = int8_conv(
-                    xc, w0, b0, stride=1, padding=((1, 1), (1, 1)),
-                    act_scale=s0, out_quant_scale=s1, fold_relu=True,
-                )
+                if self.stem_im2col:
+                    y_q = int8_conv_im2col(
+                        xc, w0, b0, act_scale=s0, out_quant_scale=s1,
+                        fold_relu=True,
+                    )
+                else:
+                    y_q = int8_conv(
+                        xc, w0, b0, stride=1, padding=((1, 1), (1, 1)),
+                        act_scale=s0, out_quant_scale=s1, fold_relu=True,
+                    )
                 if use_pair:
                     return _pair_phase_max(y_q, requant_scale=s_out,
                                            relu=True)
@@ -452,6 +482,13 @@ class VGG16(nn.Module):
                 x, w, (stride, stride), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + b
+        if (self.stem_im2col and stride == 1 and w.shape[:2] == (3, 3)
+                and act_scale is not None):
+            from ...ops.quant import int8_conv_im2col
+
+            return int8_conv_im2col(
+                x, w, b, out_dtype=x.dtype, act_scale=act_scale,
+            )
         from ...ops.quant import int8_conv
 
         return int8_conv(

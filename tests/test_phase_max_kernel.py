@@ -1,11 +1,17 @@
-"""Fused phase-max+ReLU+requant Pallas kernel vs its plain-XLA oracle.
+"""Phase-max Pallas kernels vs their plain-XLA oracles.
 
-The kernel's contract is BIT-exact equality with the shipping int8-static
-stem tail: relu(max over the 4 phase slices of the packed conv output in
-bf16), then quantize_activation's round/clip chain in f32 (the successor
-conv's quantize). On CPU the kernel runs in interpreter mode; the
-driver's bench exercises the compiled TPU path via TPU.PALLAS_PHASE_MAX
-(default on).
+Two kernels (scan_tpu/ops/pallas/phase_max_kernel.py):
+
+* pair_phase_max_s8 — the SHIPPING-path kernel (default config:
+  STEM_S8_EPILOGUE + STEM_PAIR_CONV): max over the four s8 phase slices
+  of the two pair-conv outputs. Exercised compiled on TPU by bench.py's
+  default config via TPU.PALLAS_PHASE_MAX.
+* phase_max_requant — the fallback-path kernel (both of the above off:
+  BENCH_STEM_S8=0 BENCH_STEM_PAIR=0 BENCH_PALLAS_PHASEMAX=1 on the
+  bench); fuses phase-max + ReLU + the successor requant.
+
+On CPU both run in interpreter mode; the contract is BIT-exact equality
+with the XLA slice-max formulation they replace.
 
 Parity target: reference fcos_core/modeling/backbone/mmdetection/vgg.py
 stage-1 MaxPool2d(2,2) composed with the w8a8 protocol of ops/quant.py.
@@ -29,13 +35,47 @@ def _oracle(z, scale):
     ).astype(jnp.int8)
 
 
+def _pair_oracle(z0, z1):
+    c = z0.shape[-1] // 2
+    return jnp.maximum(
+        jnp.maximum(z0[..., :c], z0[..., c:]),
+        jnp.maximum(z1[..., :c], z1[..., c:]),
+    )
+
+
 @pytest.mark.parametrize(
-    "b,h,w,c,block_rows",
-    [(1, 8, 16, 64, 64), (2, 10, 12, 64, 128), (1, 4, 4, 8, 32)],
+    "b,h,w,block_rows",
+    [(1, 8, 16, 64), (2, 10, 12, 128), (1, 7, 9, 32)],
 )
-def test_phase_max_requant_bit_exact(b, h, w, c, block_rows):
-    # block_rows chosen to exercise both the exact-tiling and the padded
-    # remainder path (2*10*12=240 rows vs 128-row blocks).
+def test_pair_phase_max_s8_bit_exact(b, h, w, block_rows):
+    # block_rows chosen to exercise both exact tiling and the clamped
+    # boundary block (2*10*12=240 and 1*7*9=63 rows vs the block size).
+    from scan_tpu.ops.pallas.phase_max_kernel import pair_phase_max_s8
+
+    rng = np.random.RandomState(0)
+    z0 = jnp.asarray(rng.randint(-127, 128, (b, h, w, 128), np.int8))
+    z1 = jnp.asarray(rng.randint(-127, 128, (b, h, w, 128), np.int8))
+    want = _pair_oracle(z0, z1)
+    got = pair_phase_max_s8(z0, z1, block_rows=block_rows, interpret=True)
+    assert got.shape == (b, h, w, 64) and got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pair_phase_max_s8_lane_guard():
+    from scan_tpu.ops.pallas.phase_max_kernel import pair_phase_max_s8
+
+    z = jnp.zeros((1, 4, 4, 32), jnp.int8)  # 2C=32 < 128 lanes
+    with pytest.raises(AssertionError):
+        pair_phase_max_s8(z, z, interpret=True)
+
+
+@pytest.mark.parametrize(
+    "b,h,w,c,block_h",
+    [(1, 8, 16, 64, 4), (2, 10, 12, 64, 4), (1, 5, 5, 32, 2)],
+)
+def test_phase_max_requant_bit_exact(b, h, w, c, block_h):
+    # block_h chosen to exercise both exact tiling and the clamped
+    # boundary block (h=5 vs block_h=2).
     from scan_tpu.ops.pallas.phase_max_kernel import phase_max_requant
 
     rng = np.random.RandomState(0)
@@ -44,10 +84,17 @@ def test_phase_max_requant_bit_exact(b, h, w, c, block_rows):
     ).astype(jnp.bfloat16)
     scale = jnp.float32(0.37)
     want = _oracle(z, scale)
-    got = phase_max_requant(z, scale, block_rows=block_rows,
-                            interpret=True)
+    got = phase_max_requant(z, scale, block_h=block_h, interpret=True)
     assert got.shape == (b, h, w, c) and got.dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_phase_max_requant_lane_guard():
+    from scan_tpu.ops.pallas.phase_max_kernel import phase_max_requant
+
+    z = jnp.zeros((1, 4, 4, 32), jnp.bfloat16)  # 4C=32 < 128 lanes
+    with pytest.raises(AssertionError):
+        phase_max_requant(z, jnp.float32(0.5), interpret=True)
 
 
 def test_phase_max_requant_relu_floor():
@@ -55,6 +102,5 @@ def test_phase_max_requant_relu_floor():
     from scan_tpu.ops.pallas.phase_max_kernel import phase_max_requant
 
     z = -jnp.ones((1, 4, 8, 256), jnp.bfloat16)
-    got = phase_max_requant(z, jnp.float32(0.5), block_rows=32,
-                            interpret=True)
+    got = phase_max_requant(z, jnp.float32(0.5), block_h=2, interpret=True)
     assert int(np.abs(np.asarray(got)).max()) == 0

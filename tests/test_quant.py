@@ -113,3 +113,40 @@ def test_static_scale_calibration_matches_dynamic():
     np.testing.assert_allclose(
         np.asarray(y_static), np.asarray(y_dyn), atol=1e-6
     )
+
+
+def test_int8_conv_im2col_bit_exact():
+    """The im2col matmul formulation of the 3x3 stride-1 conv is
+    BIT-exact vs lax.conv: identical s8 operands, s32 accumulation
+    (integer addition reassociates exactly), identical epilogue."""
+    from scan_tpu.ops.quant import int8_conv_im2col
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 14, 3).astype(np.float32) * 50)
+    w = jnp.asarray(rng.randn(3, 3, 3, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    scale = jnp.float32(0.41)
+
+    for kwargs in (
+        dict(out_quant_scale=jnp.float32(0.2), fold_relu=True),  # s8 out
+        dict(out_dtype=jnp.float32),                             # fp out
+    ):
+        want = int8_conv(x, w, b, stride=1, padding=((1, 1), (1, 1)),
+                         act_scale=scale, **kwargs)
+        got = int8_conv_im2col(x, w, b, act_scale=scale, **kwargs)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_im2col_s8_input():
+    from scan_tpu.ops.quant import int8_conv_im2col
+
+    rng = np.random.RandomState(1)
+    x_q = jnp.asarray(rng.randint(-127, 128, (1, 8, 8, 3), np.int8))
+    w = jnp.asarray(rng.randn(3, 3, 3, 8).astype(np.float32) * 0.1)
+    scale = jnp.float32(0.5)
+    want = int8_conv(x_q, w, None, stride=1, padding=((1, 1), (1, 1)),
+                     act_scale=scale, out_dtype=jnp.float32)
+    got = int8_conv_im2col(x_q, w, None, act_scale=scale,
+                           out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
