@@ -80,7 +80,29 @@ def make_dp_source_only_train_step(detector: SCANDetector, optimizer,
     """Source-only (non-DA) step sharded over the 'dp' axis
     (multi-chip form of ``make_source_only_train_step``)."""
     step = make_source_only_train_step(detector, optimizer, axis_name="dp")
-    return _shard_mapped(step, mesh, n_batches=1)
+
+    def variant(with_rng: bool):
+        if with_rng:
+            def bound(params, opt_state, proto_state, batch, rng):
+                return step(params, opt_state, proto_state, batch, rng=rng)
+        else:
+            def bound(params, opt_state, proto_state, batch):
+                return step(params, opt_state, proto_state, batch)
+
+        return _shard_mapped(bound, mesh, n_batches=1, n_extra=int(with_rng))
+
+    variants = {}
+
+    def dispatch(params, opt_state, proto_state, batch, rng=None):
+        key = rng is not None
+        if key not in variants:
+            variants[key] = variant(key)
+        args = (params, opt_state, proto_state, batch)
+        if rng is not None:
+            args = args + (rng,)
+        return variants[key](*args)
+
+    return dispatch
 
 
 def build_da_train_step(detector: SCANDetector, optimizer, mesh=None):

@@ -23,6 +23,19 @@ from ..utils.metric_logger import MetricLogger
 logger = logging.getLogger("scan_tpu.trainer")
 
 
+def to_percent_ap(cur: float) -> float:
+    """Pin the validation-metric unit: the evaluator reports COCO metrics
+    as FRACTIONS in [0, 1] (evaluation/coco_eval.py); the gate/threshold
+    space (SOLVER.INITIAL_AP50, reference trainer.py:350) is PERCENT.
+    One assertion, one scale — no <=1.0 rescale heuristics."""
+    cur = float(cur)
+    assert 0.0 <= cur <= 1.0, (
+        f"validation metric {cur} is not a fraction; the evaluator "
+        "contract (fractions in [0,1]) was broken"
+    )
+    return cur * 100.0
+
+
 def do_train_da(
     cfg,
     detector,
@@ -110,15 +123,7 @@ def do_train_da(
                 detector, params, proto_state, loader_val, mesh=mesh
             )
             cur = float(results.get(val_type, results.get("AP50", 0.0)))
-            # The evaluator reports COCO metrics as FRACTIONS in [0, 1]
-            # (evaluation/coco_eval.py); the gate/threshold space
-            # (SOLVER.INITIAL_AP50, reference trainer.py:350) is PERCENT.
-            # Pin the unit here — one scale, no heuristics.
-            assert 0.0 <= cur <= 1.0, (
-                f"validation metric {val_type}={cur} is not a fraction; "
-                "the evaluator contract (fractions in [0,1]) was broken"
-            )
-            ap50_emp = cur * 100.0
+            ap50_emp = to_percent_ap(cur)
             logger.info("validation @%d: %s=%.4f", it, val_type, ap50_emp)
             if tb_logger is not None:
                 tb_logger.log_scalars({f"val/{val_type}": ap50_emp}, it)
@@ -145,13 +150,22 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
     max_iter = cfg.SOLVER.MAX_ITER
     end = time.time()
     it = start_iter
+    use_dropout = bool(
+        cfg.MODEL.MIDDLE_HEAD.CONDGRAPH_ON
+        and cfg.MODEL.MIDDLE_HEAD.GLOBAL_GCN
+        and cfg.MODEL.MIDDLE_HEAD.ATT_DROPOUT > 0.0
+    )
+    dropout_base = jax.random.PRNGKey(1234)
     for iteration, batch in enumerate(loader, start_iter):
         batch = {
             k: batch[k] for k in ("images", "sizes", "boxes", "labels", "mask")
         }
         data_time = time.time() - end
+        step_kwargs = {}
+        if use_dropout:
+            step_kwargs["rng"] = jax.random.fold_in(dropout_base, iteration)
         params, opt_state, proto_state, metrics = train_step(
-            params, opt_state, proto_state, batch
+            params, opt_state, proto_state, batch, **step_kwargs
         )
         it = iteration + 1
         if it % 20 == 0 or it == max_iter:

@@ -108,14 +108,20 @@ def _phase_packed_weight(w: jnp.ndarray) -> jnp.ndarray:
     return ws
 
 
+# Reference VGG init (mmcv weight_init.py kaiming_init: fan_out, relu):
+# matters when training WITHOUT pretrained weights — normal(0.01) stem
+# convs collapse the activation scale ~20x per layer, and with the first
+# two stages frozen (vgg.py:131) the trainable tail then sees ~1e-5-scale
+# features and never learns (observed on the synthetic DA-efficacy runs).
+_VGG_CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
 class _InnerConvParams(nn.Module):
     shape: tuple
 
     @nn.compact
     def __call__(self):
-        from ..layers import normal_init
-
-        k = self.param("kernel", normal_init(0.01), self.shape)
+        k = self.param("kernel", _VGG_CONV_INIT, self.shape)
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
         return k, b
 
@@ -193,6 +199,7 @@ class VGG16(nn.Module):
             else:
                 for b in range(blocks):
                     x = Conv(ch, 3, dtype=self.dtype, quant=self.quant,
+                             kernel_init=_VGG_CONV_INIT,
                              name=f"conv{idx}")(x)
                     if self.with_bn:
                         x = nn.GroupNorm(

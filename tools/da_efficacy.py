@@ -151,6 +151,12 @@ SOURCE_ONLY_OPTS = [
 
 
 def run_arm(name, data_root, out_dir, max_iter, extra_opts, log_lines):
+    import shutil
+
+    # fresh output dir: the checkpointer auto-resumes from last_checkpoint
+    # (by design), which silently turns a re-run into a resume of stale
+    # weights — each arm must start from initialisation
+    shutil.rmtree(out_dir, ignore_errors=True)
     cfg_path = os.path.join(
         REPO, "configs", "scan", "scan_vgg16_cityscapace_to_foggy.yaml"
     )
