@@ -331,12 +331,13 @@ class VGG16(nn.Module):
                 )
                 for qy in range(2)
             ]
-            # Shipping-path Pallas kernel (TPU.PALLAS_PHASE_MAX): XLA
-            # emits this 4-slice s8 max as a standalone loop fusion at
-            # ~45% of HBM BW (13.5 ms/batch32) because the 64-lane-offset
-            # slices defeat its vectorizer; the kernel does the half-lane
-            # maxes in-register and streams at the HBM floor. Bit-exact
-            # (same max over the same s8 values).
+            # Optional Pallas kernel (TPU.PALLAS_PHASE_MAX, off by
+            # default like the pair-conv stem itself): XLA emits this
+            # 4-slice s8 max as a standalone loop fusion at ~45% of HBM
+            # BW (13.5 ms/batch32) because the 64-lane-offset slices
+            # defeat its vectorizer; the kernel does the half-lane maxes
+            # in-register and streams at the HBM floor. Bit-exact (same
+            # max over the same s8 values).
             if (requant_scale is not None and relu
                     and self.pallas_phase_max
                     and not self.is_initializing()
@@ -365,14 +366,14 @@ class VGG16(nn.Module):
             wcs = _phase_pair_weights_colsplit(k1).astype(dt)
             b1p2 = jnp.tile(b1_raw.astype(dt), 2)
 
-        # FALLBACK-path Pallas pass for phase-max + ReLU + the successor's
+        # Optional Pallas pass for phase-max + ReLU + the successor's
         # requant (phase_max_requant): reachable only when BOTH
-        # STEM_S8_EPILOGUE and STEM_PAIR_CONV are off (the default config
-        # takes the use_s8/use_pair branches above, where the Pallas
-        # shipping-path kernel is pair_phase_max_s8 inside
-        # _pair_phase_max). Without it that fallback pays a ~45%-of-BW
-        # slice-max loop PLUS the next conv's quantize pass; the kernel
-        # replaces both at the HBM floor. Bit-exact.
+        # STEM_S8_EPILOGUE and STEM_PAIR_CONV are off (when they are on,
+        # the pair-conv branch above owns the tail via pair_phase_max_s8).
+        # The round-4 default leaves ALL of these off — the plain XLA
+        # slice-max below measured fastest end-to-end (202.2 img/s; the
+        # kernel's layout demands cost more than its single pass saves,
+        # PERF.md round 4). Bit-exact when enabled.
         use_pmax_kernel = (
             self.quant and self.pallas_phase_max and s1 is not None
             and s_out is not None and not use_s8 and not use_pair

@@ -1,9 +1,13 @@
 """Pallas phase-max kernels for the VGG s2d stem.
 
-Two kernels for two stem configurations:
+Two kernels for two stem configurations. NEITHER is on the shipping
+path as of round 4: the measured default is the plain XLA slice-max
+(STEM_S8_EPILOGUE=False, STEM_PAIR_CONV=False, PALLAS_PHASE_MAX=False,
+202.2 img/s — docs/perf/PERF.md round 4 A/B table). Both kernels are
+kept as measured, documented, off-by-default knobs.
 
-1. ``pair_phase_max_s8`` — THE SHIPPING-PATH KERNEL (default config:
-   STEM_S8_EPILOGUE=True + STEM_PAIR_CONV=True). The two row-phase pair
+1. ``pair_phase_max_s8`` — for the pair-conv stem (STEM_S8_EPILOGUE=True
+   + STEM_PAIR_CONV=True + PALLAS_PHASE_MAX=True). The two row-phase pair
    convs each emit a (B, H/2, W/2, 2C) int8 tensor whose lane halves are
    the two column phases, already ReLU'd and requantized inside the conv
    epilogues; the 2x2 max-pool is then a max over those four s8 slices.
@@ -12,16 +16,20 @@ Two kernels for two stem configurations:
    achievable HBM bandwidth (docs/perf/PERF.md round 3). The kernel does
    the two half-lane maxes in-register (one 64-lane rotate each) and
    streams at the HBM floor: read 2x(m,128) s8 + write (m,64) s8
-   = 2.75 GB/batch32, floor ~6 ms.
+   = 2.75 GB/batch32, floor ~6 ms. The pair-conv stem itself measures
+   slower end-to-end than the packed conv (185.0 vs 202.2), which is why
+   this path is off by default.
 
-2. ``phase_max_requant`` — the FALLBACK-path kernel (STEM_S8_EPILOGUE=
-   False and STEM_PAIR_CONV=False only; on a default calibrated model the
-   s8-epilogue/pair-conv branches preempt it — see vgg.py use_pmax_kernel).
-   There the packed stride-2 conv emits bf16 (B, H/2, W/2, 4C) phase-major
-   and the kernel fuses phase-max + ReLU + the successor's requant into
-   one pass: q = clip(round(relu(max4(z)) / s_out)) -> int8. Bit-exact vs
-   the XLA path: max/ReLU in bf16 exactly as vgg._phase_max, then the
+2. ``phase_max_requant`` — for the packed stem (STEM_S8_EPILOGUE=False
+   and STEM_PAIR_CONV=False, PALLAS_PHASE_MAX=True). The packed stride-2
+   conv emits bf16 (B, H/2, W/2, 4C) phase-major and the kernel fuses
+   phase-max + ReLU + the successor's requant into one pass:
+   q = clip(round(relu(max4(z)) / s_out)) -> int8. Bit-exact vs the XLA
+   path: max/ReLU in bf16 exactly as vgg._phase_max, then the
    quantize_activation round/clip chain in f32 (ops/quant.py:57-73).
+   Measured round 4: the kernel itself runs at the HBM floor (7.9 ms) but
+   its layout demands cost more elsewhere (2D form: +13 ms relayout copy;
+   4D form: slower conv epilogue) — net slower than XLA's slice-max.
 
 Both kernels handle row counts that are not a multiple of the block size
 via Pallas' boundary-block clamping (reads of the padded tail are

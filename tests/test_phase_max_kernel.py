@@ -1,17 +1,20 @@
 """Phase-max Pallas kernels vs their plain-XLA oracles.
 
-Two kernels (scan_tpu/ops/pallas/phase_max_kernel.py):
+Two kernels (scan_tpu/ops/pallas/phase_max_kernel.py). Neither is on
+the round-4 shipping path (the measured default is the plain XLA
+slice-max — PERF.md round-4 A/B); both are kept as off-by-default knobs:
 
-* pair_phase_max_s8 — the SHIPPING-path kernel (default config:
-  STEM_S8_EPILOGUE + STEM_PAIR_CONV): max over the four s8 phase slices
-  of the two pair-conv outputs. Exercised compiled on TPU by bench.py's
-  default config via TPU.PALLAS_PHASE_MAX.
-* phase_max_requant — the fallback-path kernel (both of the above off:
-  BENCH_STEM_S8=0 BENCH_STEM_PAIR=0 BENCH_PALLAS_PHASEMAX=1 on the
-  bench); fuses phase-max + ReLU + the successor requant.
+* pair_phase_max_s8 — pair-conv stem tail (bench knobs: BENCH_STEM_S8=1
+  BENCH_STEM_PAIR=1 BENCH_PALLAS_PHASEMAX=1): max over the four s8 phase
+  slices of the two pair-conv outputs.
+* phase_max_requant — packed-stem tail (BENCH_STEM_S8=0 BENCH_STEM_PAIR=0
+  BENCH_PALLAS_PHASEMAX=1); fuses phase-max + ReLU + the successor
+  requant.
 
-On CPU both run in interpreter mode; the contract is BIT-exact equality
-with the XLA slice-max formulation they replace.
+These CI tests run the kernels in INTERPRET mode (CPU host); the
+compiled Mosaic lowering is exercised only when the bench knobs above
+are set on a real TPU (done for the PERF.md round-4 table). The contract
+checked here is BIT-exact equality with the XLA slice-max formulation.
 
 Parity target: reference fcos_core/modeling/backbone/mmdetection/vgg.py
 stage-1 MaxPool2d(2,2) composed with the w8a8 protocol of ops/quant.py.

@@ -15,7 +15,7 @@ Usage (takes ~30 min on one v5e + 1-core host):
     python tools/stability_run.py --iters 2000 --kill-frac 0.5 \
         --out /tmp/stab --data /tmp/stab_ds
 The combined, trimmed log is written to ``--log-out`` (committed as
-docs/perf/stability_r3.log).
+docs/perf/stability_r4.log).
 """
 
 import argparse
