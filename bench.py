@@ -196,6 +196,8 @@ def main():
         cfg.TPU.STEM_IM2COL_CONV0 = os.environ["BENCH_STEM_IM2COL"] == "1"
     if os.environ.get("BENCH_PALLAS_PHASEMAX"):
         cfg.TPU.PALLAS_PHASE_MAX = os.environ["BENCH_PALLAS_PHASEMAX"] == "1"
+    if os.environ.get("BENCH_PHASEMAX_FORM"):
+        cfg.TPU.PHASE_MAX_FORM = os.environ["BENCH_PHASEMAX_FORM"]
     if os.environ.get("BENCH_NMS_CAP"):
         cfg.TPU.NMS_CAP = int(os.environ["BENCH_NMS_CAP"])
     if os.environ.get("BENCH_PRE_NMS_TOP_N"):

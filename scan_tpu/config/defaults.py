@@ -516,6 +516,13 @@ _C.TPU.STEM_IM2COL_CONV0 = False
 # Round 3 shipped this ON without a post-landing bench — that is the
 # 201.7-vs-192.2 builder/driver discrepancy of VERDICT r3 weak #5.
 _C.TPU.PALLAS_PHASE_MAX = False
+# XLA formulation of the stem phase-max ("slice" | "reshape" | "pair2");
+# all three are bit-exact (max over the same four phase values). "slice"
+# maxes four 64-lane-offset channel slices; "pair2" reshapes to
+# (..., 2, 2C) so the first (largest) max is at a vreg-aligned 128-lane
+# offset; "reshape" maxes (..., 4, C) in one step. Measurements:
+# tools/phase_max_microbench.py + PERF.md round 4.
+_C.TPU.PHASE_MAX_FORM = "slice"
 # Fused Pallas stage-1 stem kernel (both convs + pool in VMEM, no
 # full-res HBM intermediates). TPU backend only; falls back to the XLA
 # s2d stem elsewhere and during int8 calibration.

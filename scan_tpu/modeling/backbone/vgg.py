@@ -171,6 +171,10 @@ class VGG16(nn.Module):
     # int8 static path: one Pallas pass for phase-max + ReLU + the
     # successor requant (TPU.PALLAS_PHASE_MAX); TPU backend only.
     pallas_phase_max: bool = False
+    # XLA formulation of the phase-max ("slice" | "reshape" | "pair2") —
+    # all bit-exact (max over the same four values, associativity only);
+    # see TPU.PHASE_MAX_FORM in config/defaults.py for the measurements.
+    phase_max_form: str = "slice"
     # int8 path: run the Cin=3 first conv as an explicit im2col matmul
     # (TPU.STEM_IM2COL_CONV0) — XLA's conv pads the 27-deep contraction
     # to the full 128-lane tile (~2.8% MXU util, 12.5 ms/batch32); the
@@ -275,6 +279,17 @@ class VGG16(nn.Module):
             # output; relu commutes with max so it is applied once, after.
             # (A standalone Pallas kernel for this was measured SLOWER
             # than XLA's fused slice-max; see docs/perf/PERF.md.)
+            # Three bit-exact XLA formulations (TPU.PHASE_MAX_FORM): the
+            # 64-lane-offset slices of "slice" defeat the vectorizer;
+            # "pair2" does the first max at a vreg-aligned 2C=128-lane
+            # offset so 3/4 of the traffic moves at full vector width.
+            if self.phase_max_form == "reshape":
+                b_, h_, w_, c4 = z.shape
+                return jnp.max(z.reshape(b_, h_, w_, 4, ch), axis=-2)
+            if self.phase_max_form == "pair2":
+                b_, h_, w_, c4 = z.shape
+                m2 = jnp.max(z.reshape(b_, h_, w_, 2, 2 * ch), axis=-2)
+                return jnp.max(m2.reshape(b_, h_, w_, 2, ch), axis=-2)
             return jnp.maximum(
                 jnp.maximum(z[..., :ch], z[..., ch:2 * ch]),
                 jnp.maximum(z[..., 2 * ch:3 * ch], z[..., 3 * ch:]),

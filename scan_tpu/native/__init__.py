@@ -36,8 +36,15 @@ def _build():
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    ``SCAN_TPU_NO_NATIVE=1`` disables it (pure-Python/PIL fallbacks
+    everywhere) — used by tools/loader_bench.py for the native-vs-PIL
+    scaling A/B and as an escape hatch on hosts with a broken toolchain.
+    """
     global _lib, _tried
+    if os.environ.get("SCAN_TPU_NO_NATIVE") == "1":
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib

@@ -75,3 +75,17 @@ def test_vgg_s2d_param_tree_identical():
         jax.tree_util.tree_leaves(p_naive), jax.tree_util.tree_leaves(p_fast)
     ):
         assert a.shape == b.shape
+
+
+def test_phase_max_forms_bit_exact():
+    """TPU.PHASE_MAX_FORM variants ("slice"/"reshape"/"pair2") are the max
+    over the same four phase values — outputs must be BIT-identical."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 32, 48, 3), jnp.float32)
+    base = VGG16(s2d_stage1=True, phase_max_form="slice")
+    params = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(params, x)
+    for form in ("reshape", "pair2"):
+        got = VGG16(s2d_stage1=True, phase_max_form=form).apply(params, x)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -57,7 +57,11 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(1024, 2048))
     ap.add_argument("--threads", type=int, nargs="+", default=(1, 2, 4))
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--no-native", action="store_true",
+                    help="force the PIL fallback path (A/B vs native)")
     args = ap.parse_args()
+    if args.no_native:
+        os.environ["SCAN_TPU_NO_NATIVE"] = "1"
 
     from scan_tpu.config import get_default_cfg
     from scan_tpu.data.build import DetectionLoader
@@ -86,6 +90,7 @@ def main():
             wall = time.perf_counter() - t0
             cpu = time.process_time() - c0
             print(json.dumps({
+                "native": not args.no_native,
                 "threads": t,
                 "wall_s_per_img": round(wall / n_img, 4),
                 "cpu_s_per_img": round(cpu / n_img, 4),
