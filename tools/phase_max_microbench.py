@@ -56,28 +56,49 @@ def f_pair2(z, scale, c):
 
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    # default batch 8, not the shipping 32: the async timing queue holds
+    # every in-flight s8 output, and 20 x 550 MB (batch 32) + the 4.4 GB
+    # bf16 input exhausts v5e HBM. 1.1 GB input is still far beyond any
+    # cache, so the GB/s rate is the same HBM-bound figure.
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     h, w, c = 400, 672, 64
-    rng = np.random.RandomState(0)
-    z = jnp.asarray(rng.randn(b, h, w, 4 * c).astype(np.float32)).astype(
-        jnp.bfloat16
-    )
+    # generate on device: a host randn of this shape is 17.6 GB of f64 and
+    # minutes of single-core CPU + relay transfer
+    z = jax.block_until_ready(jax.random.normal(
+        jax.random.PRNGKey(0), (b, h, w, 4 * c), jnp.bfloat16
+    ))
     scale = jnp.float32(0.37)
     fns = {"slice": f_slice, "reshape": f_reshape, "pair2": f_pair2}
+
+    def timed_chain(fn, k):
+        """Wall time of k async dispatches ended by ONE scalar readback.
+
+        block_until_ready does not actually wait through the axon relay;
+        only a device->host transfer does. The ~30 ms relay round-trip is
+        cancelled by the k-vs-3k differencing below.
+        """
+        t0 = time.perf_counter()
+        outs = [fn(z, scale, c) for _ in range(k)]
+        _ = np.asarray(outs[-1][0, 0, 0])
+        return time.perf_counter() - t0
+
     ref = None
     for name, fn in fns.items():
         out = fn(z, scale, c)
-        out_np = np.asarray(out)
         if ref is None:
-            ref = out_np
+            ref = out
         else:
-            np.testing.assert_array_equal(out_np, ref)  # same math
-        iters = 20
-        t0 = time.perf_counter()
-        outs = [fn(z, scale, c) for _ in range(iters)]
-        _ = np.asarray(outs[-1][0, 0, 0])
-        dt = (time.perf_counter() - t0) / iters * 1e3
-        gb = (z.nbytes + out_np.nbytes) / 1e9
+            # equality checked on device; pulling 550 MB s8 over the
+            # relay per variant dominates the run otherwise
+            eq = bool(np.asarray(jnp.array_equal(out, ref)))
+            assert eq, f"{name} != slice"
+        k = 10
+        best = min(
+            (timed_chain(fn, 3 * k) - timed_chain(fn, k)) / (2 * k)
+            for _ in range(3)
+        )
+        dt = best * 1e3
+        gb = (z.nbytes + out.nbytes) / 1e9
         print(f"{name:8s} {dt:7.2f} ms  ({gb / dt * 1e3:.0f} GB/s)")
 
 
