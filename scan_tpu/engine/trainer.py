@@ -12,6 +12,7 @@ Parity target: reference ``fcos_core/engine/trainer.py:124-495``:
 
 import datetime
 import logging
+import math
 import time
 from typing import Optional
 
@@ -21,6 +22,23 @@ import numpy as np
 from ..utils.metric_logger import MetricLogger
 
 logger = logging.getLogger("scan_tpu.trainer")
+
+
+def check_finite(host_metrics: dict, it: int) -> None:
+    """Fail LOUDLY on a non-finite loss (SURVEY §5 numerics guards).
+
+    A NaN/Inf in any loss term means NaN grads have already poisoned the
+    params — continuing only burns chip-hours producing garbage while the
+    smoothed log looks alive. The round-4 stability run collapsed at
+    iter ~1830 and trained 170 more iterations silently; this converts
+    that into an immediate, attributable failure."""
+    bad = {k: v for k, v in host_metrics.items() if not math.isfinite(v)}
+    if bad:
+        raise FloatingPointError(
+            f"non-finite training metrics at iter {it}: {bad} — "
+            "params are NaN-poisoned; resume from the last healthy "
+            "checkpoint (tools/nan_bisect.py pins the offending step)"
+        )
 
 
 def to_percent_ap(cur: float) -> float:
@@ -99,6 +117,7 @@ def do_train_da(
             host_metrics = {
                 k: float(v) for k, v in jax.device_get(metrics).items()
             }
+            check_finite(host_metrics, it)
             batch_time = (time.time() - end) / window
             meters.update(time=batch_time, data=data_time_acc / window,
                           **host_metrics)
@@ -170,6 +189,7 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
         it = iteration + 1
         if it % 20 == 0 or it == max_iter:
             host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            check_finite(host_metrics, it)
             meters.update(time=(time.time() - end) / 20, data=data_time,
                           **host_metrics)
             eta = datetime.timedelta(

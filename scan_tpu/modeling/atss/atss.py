@@ -431,6 +431,13 @@ def atss_centerness(reg_targets, anchors, cfg: ATSSConfig):
 
 
 def giou_loss(cfg: ATSSConfig, pred, target, anchors, weight, valid):
+    # Sanitise masked rows BEFORE the decode/area arithmetic: the final
+    # `* valid` zeroes the loss but not a NaN/inf born inside the untaken
+    # branch (0 * inf = NaN in the backward pass) — same fixed-shape
+    # masking rule as ops/iou_loss.py.
+    vm = (valid > 0).reshape(-1, 1)
+    pred = jnp.where(vm, pred, 0.0)
+    target = jnp.where(vm, target, 0.0)
     pb = atss_decode(cfg, pred, anchors)
     px1, py1 = pb[:, 0], pb[:, 1]
     px2 = jnp.maximum(px1, pb[:, 2])

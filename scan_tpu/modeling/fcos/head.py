@@ -60,7 +60,19 @@ class FCOSHead(nn.Module):
                 ctrness.append(centerness(r).astype(jnp.float32))
             else:
                 ctrness.append(centerness(c).astype(jnp.float32))
+            # exp overflow guard: the reference applies a bare torch.exp
+            # (fcos.py:112) but only ever differentiates gathered positive
+            # rows; our fixed-shape losses see every location, and an
+            # unsupervised location's prediction can drift until exp
+            # overflows fp32 (observed at iter 1837 of the round-4
+            # stability run: P3's scale*pred crossed ~44, inf'ing
+            # pred_area and NaN-poisoning the whole model in one step).
+            # Legitimate ltrb distances are <= ~1400 px (log ~ 7.3), so
+            # clamping at 25 (exp = 7.2e10) is numerics-neutral for any
+            # real box while keeping all downstream area products finite.
             bbox_reg.append(
-                jnp.exp(scales[l](bbox_pred(r).astype(jnp.float32)))
+                jnp.exp(jnp.minimum(
+                    scales[l](bbox_pred(r).astype(jnp.float32)), 25.0
+                ))
             )
         return logits, bbox_reg, ctrness

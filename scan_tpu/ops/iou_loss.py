@@ -9,7 +9,21 @@ import jax.numpy as jnp
 
 
 def iou_loss(pred, target, weight=None, valid_mask=None):
-    """pred/target: (N, 4) ltrb distances (all >= 0). Returns scalar."""
+    """pred/target: (N, 4) ltrb distances (all >= 0). Returns scalar.
+
+    Unlike the reference, which gathers the positive rows before computing
+    areas (loss.py:214-222, dynamic shapes), this stays fixed-shape and
+    mask-weights the reduction — so masked rows MUST be sanitised at entry,
+    not just at the output. A `where` after the arithmetic zeroes the
+    cotangent but not the NaN: with an inf prediction at a masked row
+    (e.g. the head's exp overflowing at an unsupervised location, the
+    round-4 stability-run collapse at iter 1837) `0 * inf` in the backward
+    pass poisons every upstream gradient. The double-where below keeps the
+    untaken branch's arithmetic finite."""
+    if valid_mask is not None:
+        vm = valid_mask[:, None]
+        pred = jnp.where(vm, pred, 0.0)
+        target = jnp.where(vm, target, 0.0)
     pl, pt, pr, pb = pred[:, 0], pred[:, 1], pred[:, 2], pred[:, 3]
     tl, tt, tr, tb = target[:, 0], target[:, 1], target[:, 2], target[:, 3]
 

@@ -20,10 +20,19 @@ class SmoothedValue:
 
     @property
     def median(self):
-        d = sorted(self.deque)
+        # NaN-honest: Python sorted() over a NaN-polluted window has
+        # undefined NaN placement, so the old midpoint pick could return a
+        # stale finite value and HIDE a training collapse (seen in the
+        # round-4 stability run: global_avg went nan at iter 1840 while the
+        # median column kept printing finite numbers). Any non-finite entry
+        # in the window now makes the median nan.
+        d = list(self.deque)
         n = len(d)
         if n == 0:
             return 0.0
+        if any(v != v for v in d):
+            return float("nan")
+        d.sort()
         return d[n // 2] if n % 2 else 0.5 * (d[n // 2 - 1] + d[n // 2])
 
     @property

@@ -192,3 +192,57 @@ def test_dynamic_conv_bias():
     out = np.asarray(dynamic_conv(jnp.asarray(feats), jnp.asarray(kern), with_bias=True))
     want = np.einsum("bhwc,kc->bhwk", feats, kern[:, :-1]) + kern[:, -1]
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_iou_loss_inf_at_masked_row_has_finite_grads():
+    """Round-4 stability-run collapse regression (iter 1837): an inf
+    prediction at a MASKED row must not NaN the gradients — the output
+    `where` zeroes the cotangent but 0 * inf from the untaken branch's
+    area arithmetic is NaN unless the inputs are sanitised at entry."""
+    import jax
+
+    pred = jnp.asarray([[10.0, 10, 10, 10], [jnp.inf, 1e30, 5, 5]])
+    tgt = jnp.asarray([[10.0, 10, 10, 10], [0, 0, 0, 0]])
+    mask = jnp.asarray([True, False])
+
+    def f(p):
+        return iou_loss(p, tgt, weight=jnp.asarray([1.0, 0.0]),
+                        valid_mask=mask)
+
+    val, grads = jax.value_and_grad(f)(pred)
+    assert np.isfinite(float(val))
+    g = np.asarray(grads)
+    assert np.all(np.isfinite(g)), g
+    assert np.all(g[1] == 0.0)  # masked row contributes nothing
+
+
+def test_fcos_head_exp_is_overflow_clamped():
+    """The head's exp(scale * pred) must stay finite (and differentiable
+    without NaN) even when the raw prediction drifts far past the fp32
+    overflow point at an unsupervised location."""
+    import jax
+
+    from scan_tpu.modeling.fcos.head import FCOSHead
+
+    head = FCOSHead(num_classes=9, num_levels=1, in_channels=32,
+                    num_convs_cls=1, num_convs_reg=1)
+    feat = [jnp.ones((1, 4, 4, 32), jnp.float32)]
+    params = head.init(jax.random.PRNGKey(0), feat)
+
+    # blow up the bbox_pred kernel so scale*pred >> 88 (fp32 exp overflow)
+    params = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
+    params["params"]["bbox_pred"]["Conv_0"]["kernel"] = (
+        jnp.ones_like(params["params"]["bbox_pred"]["Conv_0"]["kernel"]) * 1e4
+    )
+
+    def f(p):
+        _, reg, _ = head.apply(p, feat)
+        return jnp.sum(reg[0])
+
+    val, grads = jax.value_and_grad(f)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

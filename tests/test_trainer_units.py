@@ -7,9 +7,12 @@ legitimately tiny percent value; the pinned converter asserts the
 contract instead.
 """
 
+import math
+
 import pytest
 
-from scan_tpu.engine.trainer import to_percent_ap
+from scan_tpu.engine.trainer import check_finite, to_percent_ap
+from scan_tpu.utils.metric_logger import SmoothedValue
 
 
 def test_fraction_scales_once():
@@ -25,3 +28,27 @@ def test_percent_input_rejected():
         to_percent_ap(42.3)
     with pytest.raises(AssertionError):
         to_percent_ap(-0.1)
+
+
+def test_smoothed_median_is_nan_honest():
+    """A NaN anywhere in the window must poison the median (the round-4
+    stability run's collapse was hidden by sorted()'s undefined NaN
+    placement returning stale finite medians)."""
+    m = SmoothedValue(window_size=5)
+    for v in (1.0, 2.0, 3.0):
+        m.update(v)
+    assert m.median == 2.0
+    m.update(float("nan"))
+    assert math.isnan(m.median)
+    assert math.isnan(m.avg)
+    assert math.isnan(m.global_avg)
+
+
+def test_check_finite_raises_and_names_terms():
+    check_finite({"loss_total": 2.3, "loss_cls": 0.1}, it=20)
+    with pytest.raises(FloatingPointError, match="loss_cls"):
+        check_finite(
+            {"loss_total": float("nan"), "loss_cls": float("inf"),
+             "loss_reg": 0.2},
+            it=1840,
+        )

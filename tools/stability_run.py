@@ -191,23 +191,30 @@ def main():
             failures.append(f"resume restored iteration {r}, "
                             f"killed at ~{killed_at}")
 
-    # loss trajectory: 'loss_total: x.xxxx (y.yyyy)' medians per window
-    losses = [(int(m.group(1)), float(m.group(2))) for m in re.finditer(
-        r"iter: (\d+).*?loss_total: ([0-9.eE+-]+|nan|inf)", text)]
+    # loss trajectory: 'loss_total: <median> (<global_avg>)' per window.
+    # Check BOTH columns: the round-4 collapse was hidden because the old
+    # median silently skipped NaNs while only the global_avg went nan
+    # (the harness used to parse just the median).
+    losses = [(int(m.group(1)), float(m.group(2)), float(m.group(3)))
+              for m in re.finditer(
+        r"iter: (\d+).*?loss_total: ([0-9.eE+-]+|nan|inf)"
+        r" \(([0-9.eE+-]+|nan|inf)\)", text)]
     head = tail = float("nan")
     if len(losses) < 10:
         failures.append(f"only {len(losses)} loss readings found")
     else:
-        vals = np.array([v for _, v in losses], np.float64)
-        if not np.all(np.isfinite(vals)):
-            bad = [losses[i] for i in np.where(~np.isfinite(vals))[0]]
+        vals = np.array([v for _, v, _ in losses], np.float64)
+        gavg = np.array([g for _, _, g in losses], np.float64)
+        if not (np.all(np.isfinite(vals)) and np.all(np.isfinite(gavg))):
+            bad_i = np.where(~(np.isfinite(vals) & np.isfinite(gavg)))[0]
+            bad = [losses[i] for i in bad_i]
             failures.append(f"non-finite loss at iters {bad[:5]}")
         head = float(np.median(vals[: max(3, len(vals) // 5)]))
         tail = float(np.median(vals[-max(3, len(vals) // 5):]))
         if not tail < head:
             failures.append(f"loss did not decrease: head={head:.3f} "
                             f"tail={tail:.3f}")
-    final = [it for it, _ in losses]
+    final = [it for it, _, _ in losses]
     if not final or final[-1] < args.iters:
         failures.append(f"final logged iter {final[-1] if final else 0} "
                         f"< {args.iters}")
@@ -215,6 +222,14 @@ def main():
     vals = re.findall(r"validation @(\d+): (\S+)=([0-9.eE+-]+)", text)
     if len(vals) < 2:
         failures.append(f"in-loop validation fired {len(vals)} times")
+    else:
+        # collapse detector: a NaN-poisoned model scores 0.0; require the
+        # final validation to hold a reasonable fraction of the best.
+        series = [float(v) for _, _, v in vals]
+        if series[-1] <= 0.0 or series[-1] < 0.25 * max(series):
+            failures.append(
+                f"final validation {series[-1]:.3f} collapsed vs best "
+                f"{max(series):.3f}")
     best = re.findall(r"model_([0-9.]+)_(\d+)", text)
     if not best:
         failures.append("no best-AP50 checkpoint (model_{ap:.4f}_{it}) saved")
