@@ -41,6 +41,40 @@ def check_finite(host_metrics: dict, it: int) -> None:
         )
 
 
+class FiniteGuard:
+    """Per-step first-failure latch on ``loss_total``.
+
+    The expensive full-metrics fetch stays on a 20-iter cadence, but a
+    single f32 scalar is checked EVERY step so a NaN at iter k raises at
+    iter k — not up to 19 optimizer steps later. To keep the host↔device
+    pipeline full, the transfer is started asynchronously right after the
+    step dispatch and only block-read at the end of the iteration body.
+    """
+
+    def __init__(self):
+        self._pending = None  # (iter, device scalar)
+
+    def arm(self, it: int, loss_total) -> None:
+        try:  # start the D2H copy early; overlaps with host-side work
+            loss_total.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending = (it, loss_total)
+
+    def check(self) -> None:
+        if self._pending is None:
+            return
+        it, dev = self._pending
+        self._pending = None
+        val = float(dev)
+        if not math.isfinite(val):
+            raise FloatingPointError(
+                f"non-finite loss_total={val} at iter {it} — params are "
+                "NaN-poisoned; resume from the last healthy checkpoint "
+                "(tools/nan_bisect.py pins the offending step)"
+            )
+
+
 def to_percent_ap(cur: float) -> float:
     """Pin the validation-metric unit: the evaluator reports COCO metrics
     as FRACTIONS in [0, 1] (evaluation/coco_eval.py); the gate/threshold
@@ -95,6 +129,7 @@ def do_train_da(
 
     src_iter = iter(loader_source)
     tgt_iter = iter(loader_target)
+    finite_guard = FiniteGuard()
     for iteration in range(start_iter, max_iter):
         t0 = time.time()
         batch_s = next(src_iter)
@@ -112,6 +147,7 @@ def do_train_da(
             forward_target=forward_target, **step_kwargs,
         )
         it = iteration + 1
+        finite_guard.arm(it, metrics["loss_total"])
 
         if it % 20 == 0 or it == max_iter:
             host_metrics = {
@@ -157,6 +193,8 @@ def do_train_da(
         if checkpointer is not None and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             checkpointer.save(f"model_{it:07d}", params, proto_state, opt_state, it)
 
+        finite_guard.check()
+
     if checkpointer is not None:
         checkpointer.save("model_final", params, proto_state, opt_state, max_iter)
     return params, opt_state, proto_state, best_metric
@@ -175,6 +213,7 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
         and cfg.MODEL.MIDDLE_HEAD.ATT_DROPOUT > 0.0
     )
     dropout_base = jax.random.PRNGKey(1234)
+    finite_guard = FiniteGuard()
     for iteration, batch in enumerate(loader, start_iter):
         batch = {
             k: batch[k] for k in ("images", "sizes", "boxes", "labels", "mask")
@@ -187,6 +226,7 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
             params, opt_state, proto_state, batch, **step_kwargs
         )
         it = iteration + 1
+        finite_guard.arm(it, metrics["loss_total"])
         if it % 20 == 0 or it == max_iter:
             host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             check_finite(host_metrics, it)
@@ -199,6 +239,7 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
             end = time.time()
         if checkpointer is not None and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             checkpointer.save(f"model_{it:07d}", params, proto_state, opt_state, it)
+        finite_guard.check()
         if it >= max_iter:
             break
     if checkpointer is not None:

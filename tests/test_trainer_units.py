@@ -44,6 +44,40 @@ def test_smoothed_median_is_nan_honest():
     assert math.isnan(m.global_avg)
 
 
+def test_finite_guard_first_failure():
+    """A NaN injected at iter k must raise AT iter k (VERDICT r4 #4) —
+    not up to 19 optimizer steps later like the old 20-iter cadence."""
+    import jax.numpy as jnp
+
+    from scan_tpu.engine.trainer import FiniteGuard
+
+    k = 7
+    guard = FiniteGuard()
+    raised_at = None
+    try:
+        for it in range(1, 20):
+            loss = jnp.float32(float("nan") if it == k else 1.0)
+            guard.arm(it, loss)
+            guard.check()  # end of the iteration body, same placement
+    except FloatingPointError as e:
+        raised_at = it
+        assert f"at iter {k}" in str(e)
+    assert raised_at == k, f"guard fired at {raised_at}, wanted {k}"
+
+
+def test_finite_guard_accepts_plain_floats():
+    """numpy/python scalars (no copy_to_host_async) go through the
+    AttributeError fallback path."""
+    from scan_tpu.engine.trainer import FiniteGuard
+
+    guard = FiniteGuard()
+    guard.arm(1, 0.5)
+    guard.check()
+    guard.arm(2, float("inf"))
+    with pytest.raises(FloatingPointError, match="at iter 2"):
+        guard.check()
+
+
 def test_check_finite_raises_and_names_terms():
     check_finite({"loss_total": 2.3, "loss_cls": 0.1}, it=20)
     with pytest.raises(FloatingPointError, match="loss_cls"):

@@ -15,7 +15,8 @@ Usage (takes ~30 min on one v5e + 1-core host):
     python tools/stability_run.py --iters 2000 --kill-frac 0.5 \
         --out /tmp/stab --data /tmp/stab_ds
 The combined, trimmed log is written to ``--log-out`` (committed as
-docs/perf/stability_r4.log).
+docs/perf/stability_r5.log); its first line carries the PASS/FAIL
+verdict and any failure reasons.
 """
 
 import argparse
@@ -234,14 +235,22 @@ def main():
     if not best:
         failures.append("no best-AP50 checkpoint (model_{ap:.4f}_{it}) saved")
 
-    # trimmed log for committing: keep metric/validation/checkpoint lines
+    # Trimmed log for committing — written AFTER the assertions so the
+    # header carries the verdict. A failing run's log is stamped FAIL on
+    # its very first line (plus the failure list) and can never again be
+    # mistaken for passing evidence (round-4 lesson: the harness used to
+    # write the log before evaluating failures).
     keep = [ln for ln in text.splitlines() if re.search(
         r"iter: \d+|validation @|restored|saved checkpoint|RELAUNCH|"
         r"Start DA training|devices|environment", ln)]
-    hdr = (f"# stability run: {args.iters} iters C2F DA schedule, "
+    verdict = "FAIL" if failures else "PASS"
+    hdr = (f"# STABILITY RUN {verdict}\n"
+           f"# {args.iters} iters C2F DA schedule, "
            f"SIGKILL @~{killed_at}, resumed, wall {wall:.0f}s\n"
            f"# validations: {len(vals)}  best-ckpts: {len(best)}  "
            f"loss head->tail: {head:.3f}->{tail:.3f}\n")
+    if failures:
+        hdr += "".join(f"# FAILURE: {f}\n" for f in failures)
     with open(args.log_out, "w") as f:
         f.write(hdr + "\n".join(keep) + "\n")
 
