@@ -257,64 +257,79 @@ def main():
     out = fwd(params, proto, batch_images, sizes)
     _ = np.asarray(out["scores"][0, 0, 0])
 
-    # Reproducibility discipline (VERDICT r2): several timed passes, report
-    # the MEDIAN pass; per-pass numbers + spread go to stderr (the driver
-    # parses the single stdout JSON line).
-    iters = max(1, int(os.environ.get("BENCH_ITERS", "24")) // chain)
-    passes = int(os.environ.get("BENCH_PASSES", "3"))
-    rates = []
-    for p in range(passes):
+    # ---- single-dispatch timed pass (VERDICT r4 #2) ----
+    # The round-4 driver capture paid ~1.27 s of un-hidden relay overhead
+    # PER DISPATCH, and the timed pass was 3 dispatches -> the official
+    # number halved on relay weather (109.75 wall vs 251 device-busy).
+    # Fix: the entire pass is ONE device dispatch — a lax.fori_loop with a
+    # DYNAMIC trip count (one compile serves every depth) repeating the
+    # chain n times. Two elision guards keep XLA honest:
+    #   * the input of every iteration depends on the carry (`im + tok`
+    #     where tok = isnan(acc) — 0 at runtime, unprovable at compile
+    #     time), so the body cannot be hoisted out of the loop;
+    #   * the carry folds a full reduction of EVERY output leaf, so no
+    #     output computation is dead-code-eliminated inside the loop.
+    def _looped(p, s, im, sz, n):
+        def body(i, acc):
+            tok = jnp.isnan(acc).astype(im.dtype)  # 0 at runtime, data-dep
+            out = det.forward_inference_multi(p, s, im + tok, sz)
+            return acc + sum(
+                jnp.sum(v.astype(jnp.float32))
+                for v in jax.tree_util.tree_leaves(out)
+            )
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    looped = jax.jit(_looped)
+
+    def timed(n):
         t0 = time.perf_counter()
-        outs = [fwd(params, proto, batch_images, sizes) for _ in range(iters)]
-        for out in outs:  # drain: device executes in order, fetch forces sync
-            _ = np.asarray(out["scores"][0, 0, 0])
-        dt = time.perf_counter() - t0
-        rates.append(chain * batch * iters / dt)
+        r = looped(params, proto, batch_images, sizes, jnp.int32(n))
+        _ = float(r)  # host fetch: the only trustworthy sync point
+        return time.perf_counter() - t0
+
+    timed(1)  # compile the looped variant
+    # Probe: t(n) = overhead + n * chain_time; differencing two depths
+    # cancels the per-dispatch overhead and self-measures both terms.
+    t2, t4 = timed(2), timed(4)
+    chain_time = (t4 - t2) / 2.0
+    if chain_time <= 0:  # relay noise swamped the probe; assume no ovh
+        chain_time = t4 / 4.0
+    overhead = max(2.0 * t2 - t4, 0.0)
+
+    n_reps = int(os.environ.get("BENCH_REPS", "0"))
+    if n_reps <= 0:
+        # deep enough that the one dispatch's overhead is <~3% of the
+        # pass, with an 8 s floor (pass-to-pass jitter) and a cap so a
+        # mis-probed chain_time cannot run away.
+        target_s = max(30.0 * overhead,
+                       float(os.environ.get("BENCH_MIN_DEVICE_S", "8")))
+        n_reps = int(np.clip(np.ceil(target_s / chain_time), 4, 256))
+
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    rates, walls = [], []
+    for p in range(passes):
+        dt = timed(n_reps)
+        walls.append(dt)
+        rates.append(n_reps * chain * batch / dt)
     med = float(np.median(rates))
     spread = (max(rates) - min(rates)) / med * 100
+    med_wall = float(np.median(walls))
     print(
-        f"bench passes: {[round(r, 1) for r in rates]} img/s "
+        f"bench passes (1 dispatch each, n_reps={n_reps} x {chain}x{batch} "
+        f"chain): {[round(r, 1) for r in rates]} img/s "
         f"(median {med:.1f}, spread {spread:.1f}%)",
         file=sys.stderr,
     )
-
-    # Device-busy proxy (VERDICT r3 #5: every capture self-reports its
-    # dispatch overhead so builder/driver numbers are reconcilable).
-    # Method: time the SAME number of dispatches with a 2x-deep chain;
-    # per-dispatch host overhead cancels in the difference, so
-    #   device_rate = extra_images / (t_2k - t_k).
-    if os.environ.get("BENCH_DEVBUSY", "1") == "1" and chain > 1:
-        try:
-            imgs2 = jnp.concatenate([batch_images, batch_images], axis=0)
-            sizes2 = jnp.concatenate([sizes, sizes], axis=0)
-            fwd2 = jax.jit(
-                lambda p, s, im, sz: det.forward_inference_multi(p, s, im, sz)
-            )
-            out = fwd2(params, proto, imgs2, sizes2)  # compile
-            _ = np.asarray(out["scores"][0, 0, 0])
-            t0 = time.perf_counter()
-            outs = [
-                fwd(params, proto, batch_images, sizes) for _ in range(iters)
-            ]
-            for o in outs:
-                _ = np.asarray(o["scores"][0, 0, 0])
-            t_k = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            outs = [fwd2(params, proto, imgs2, sizes2) for _ in range(iters)]
-            for o in outs:
-                _ = np.asarray(o["scores"][0, 0, 0])
-            t_2k = time.perf_counter() - t0
-            dev_rate = chain * batch * iters / max(t_2k - t_k, 1e-9)
-            disp_ms = (2 * t_k - t_2k) / iters * 1e3  # host ms per dispatch
-            print(
-                f"device-busy proxy: {dev_rate:.1f} img/s "
-                f"({chain * batch / dev_rate * 1e3:.1f} ms device per "
-                f"{chain}x{batch}-chain; ~{disp_ms:.0f} ms host overhead "
-                f"per dispatch)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # proxy must never sink the capture
-            print(f"device-busy proxy unavailable: {e!r}", file=sys.stderr)
+    # Device-busy proxy (VERDICT r3 #5): from the overhead-cancelling
+    # probe, so builder/driver captures stay reconcilable.
+    dev_rate = chain * batch / chain_time
+    print(
+        f"device-busy proxy: {dev_rate:.1f} img/s "
+        f"({chain_time * 1e3:.1f} ms device per {chain}x{batch}-chain; "
+        f"~{overhead * 1e3:.0f} ms host overhead per dispatch = "
+        f"{overhead / med_wall * 100:.1f}% of a timed pass)",
+        file=sys.stderr,
+    )
 
     img_per_sec = med
     print(
