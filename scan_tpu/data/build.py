@@ -144,6 +144,16 @@ class DetectionLoader:
         self.bucket_hw = max(self.buckets)
         self.num_threads = num_threads or cfg.TPU.LOADER_THREADS
         self.device_normalize = bool(cfg.TPU.get("DEVICE_NORMALIZE", False))
+        # Decode-once cache for fixed eval sets (VERDICT r4 #7): eval
+        # transforms are deterministic (single MIN_SIZE_TEST, no flip), so
+        # the post-transform slot content is a pure function of the index.
+        # First epoch pays decode+resize (~60 ms/img at 1024x2048);
+        # re-iterations — repeated in-training validations, eval re-runs —
+        # memcpy from the cache (~1 ms/img). Bounded by TPU.EVAL_CACHE_MB
+        # (0 disables); entries stop being added once the budget is spent.
+        cache_mb = int(cfg.TPU.get("EVAL_CACHE_MB", 0))
+        self._eval_cache = {} if (not is_train and cache_mb > 0) else None
+        self._eval_cache_free = cache_mb << 20
 
     def __len__(self):
         if self.is_train:
@@ -200,24 +210,40 @@ class DetectionLoader:
         scales = np.ones((bs, 2), np.float32)
         idx_arr = np.full((bs,), -1, np.int64)
         for slot, i in enumerate(indices):
-            img = self.dataset.load_image(i)
-            gt_boxes, gt_labels = self.dataset.get_raw_target(i)
-            oh0, ow0 = img.shape[:2]
-            # transform draws keyed by (seed, iteration, slot): identical
-            # batches under any prefetch-thread interleaving, and exact
-            # across checkpoint resume (start_iter skip)
-            rng = random.Random(
-                (self.seed * 2654435761 + iteration * 131 + slot) % (1 << 63)
-            )
-            # fused native resize(+normalize) straight into the padded slot
-            if self.device_normalize:
-                gt_boxes, (oh, ow) = self.pre.into_buffer_u8(
-                    img, gt_boxes, images[slot], rng=rng
-                )
+            cached = self._eval_cache.get(i) if self._eval_cache is not None \
+                else None
+            if cached is not None:
+                img_c, (oh, ow), gt_boxes, gt_labels, (oh0, ow0) = cached
+                images[slot, :oh, :ow] = img_c
             else:
-                gt_boxes, (oh, ow) = self.pre.into_buffer(
-                    img, gt_boxes, images[slot], rng=rng
+                img = self.dataset.load_image(i)
+                gt_boxes, gt_labels = self.dataset.get_raw_target(i)
+                oh0, ow0 = img.shape[:2]
+                # transform draws keyed by (seed, iteration, slot): identical
+                # batches under any prefetch-thread interleaving, and exact
+                # across checkpoint resume (start_iter skip)
+                rng = random.Random(
+                    (self.seed * 2654435761 + iteration * 131 + slot)
+                    % (1 << 63)
                 )
+                # fused native resize(+normalize) straight into the slot
+                if self.device_normalize:
+                    gt_boxes, (oh, ow) = self.pre.into_buffer_u8(
+                        img, gt_boxes, images[slot], rng=rng
+                    )
+                else:
+                    gt_boxes, (oh, ow) = self.pre.into_buffer(
+                        img, gt_boxes, images[slot], rng=rng
+                    )
+                if self._eval_cache is not None and i not in self._eval_cache:
+                    entry = images[slot, :oh, :ow].copy()
+                    if entry.nbytes <= self._eval_cache_free:
+                        # dict set is GIL-atomic; racing prefetch threads at
+                        # worst duplicate the copy
+                        self._eval_cache_free -= entry.nbytes
+                        self._eval_cache[i] = (
+                            entry, (oh, ow), gt_boxes, gt_labels, (oh0, ow0)
+                        )
             if oh > H or ow > W:
                 raise ValueError(
                     f"image {i} resized to ({oh},{ow}) exceeds bucket {(H, W)}"

@@ -8,9 +8,10 @@ selecting which stages serve the trunk vs the detection heads. The trunk
 ("backbone" stages) feeds the detection head directly in the reference's
 FBNet configs.
 
-This implementation covers the IRF-block primitive family (ir_k3 / ir_k5
-with explicit expansions, skip) and the 'default' + 'mnv2' arch tables;
-further archs are plain data to add.
+This implementation covers the IRF-block primitive family (ir_k3 / ir_k5 /
+ir_k7 with explicit expansions, skip) and the full reference arch set used
+by its configs: 'default', 'mnv2', 'xirb16d_dsmask', 'cham_v1a', 'cham_v2'
+(see FBNET_ARCHS below); further archs are plain data to add.
 """
 
 from typing import Any, Optional

@@ -123,14 +123,94 @@ def test_device_normalize_parity():
 
 
 def test_native_resize_u8_matches_pil(lib):
+    """BIT-exact vs PIL: the native resize IS Pillow's fixed-point 8bpc
+    algorithm (Resample.c: 1<<22 coefficients, int32 accumulation, u8
+    intermediate between passes) — down/up/identity scales all match."""
     from PIL import Image
 
     rng = np.random.RandomState(8)
-    img = rng.randint(0, 255, (40, 56, 3), dtype=np.uint8)
-    out = np.zeros((32, 64, 3), np.uint8)
-    ok = native.resize_image_u8(img, out, 24, 36)
+    for (ih, iw), (oh, ow) in [
+        ((40, 56), (24, 36)),      # downscale
+        ((40, 56), (64, 80)),      # upscale
+        ((40, 56), (40, 56)),      # identity
+        ((37, 53), (29, 41)),      # odd sizes
+    ]:
+        img = rng.randint(0, 256, (ih, iw, 3), dtype=np.uint8)
+        out = np.zeros((oh + 8, ow + 16, 3), np.uint8)
+        ok = native.resize_image_u8(img, out, oh, ow)
+        assert ok
+        want = np.asarray(
+            Image.fromarray(img).resize((ow, oh), Image.BILINEAR)
+        )
+        diff = np.abs(out[:oh, :ow].astype(int) - want.astype(int))
+        assert diff.max() == 0, ((ih, iw), (oh, ow), diff.max())
+        assert np.all(out[oh:] == 0)
+
+
+def test_native_preprocess_bitexact_vs_pil_then_normalize(lib):
+    """The fused f32 path = PIL-exact u8 resize then affine normalize —
+    the reference's own order (PIL resize returns u8, torchvision
+    normalizes after; transforms.py:70-90)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (50, 70, 3), dtype=np.uint8)
+    mean = np.array([102.98, 115.95, 122.77], np.float32)
+    std = np.ones(3, np.float32)
+    out = np.zeros((40, 64, 3), np.float32)
+    ok = native.preprocess_image(img, out, 36, 50, mean, std, True)
     assert ok
-    want = np.asarray(Image.fromarray(img).resize((36, 24), Image.BILINEAR))
-    diff = np.abs(out[:24, :36].astype(int) - want.astype(int))
-    assert diff.max() <= 1
-    assert np.all(out[24:] == 0)
+    res = np.asarray(
+        Image.fromarray(img).resize((50, 36), Image.BILINEAR)
+    ).astype(np.float32)
+    want = res[:, :, ::-1] - mean  # BGR255, std 1
+    np.testing.assert_array_equal(out[:36, :50], want)
+    assert np.all(out[36:] == 0)
+
+
+def test_eval_loader_decode_once_cache():
+    """Second iteration of an eval loader serves from the decode-once
+    cache: identical batches, zero further load_image calls."""
+    import json as _json
+    import tempfile
+
+    from PIL import Image
+
+    from scan_tpu.config import get_default_cfg
+    from scan_tpu.data.build import DetectionLoader
+    from scan_tpu.data.datasets.coco import COCODataset
+
+    rng = np.random.RandomState(3)
+    with tempfile.TemporaryDirectory() as root:
+        images, annotations = [], []
+        for i in range(1, 7):
+            arr = rng.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(f"{root}/img{i}.png")
+            images.append(dict(id=i, file_name=f"img{i}.png",
+                               height=64, width=96))
+            annotations.append(dict(id=i, image_id=i, category_id=1,
+                                    bbox=[4, 4, 30, 20], area=600,
+                                    iscrowd=0))
+        ann = f"{root}/ann.json"
+        with open(ann, "w") as f:
+            _json.dump(dict(images=images, annotations=annotations,
+                            categories=[dict(id=1, name="car")]), f)
+        cfg = get_default_cfg()
+        cfg.INPUT.MIN_SIZE_TEST = 48
+        cfg.INPUT.MAX_SIZE_TEST = 80
+        cfg.TPU.MAX_BOXES = 4
+        cfg.TPU.EVAL_CACHE_MB = 64
+        ds = COCODataset(ann, root, remove_images_without_annotations=False)
+        calls = [0]
+        orig = ds.load_image
+        ds.load_image = lambda i: (calls.__setitem__(0, calls[0] + 1),
+                                   orig(i))[1]
+        loader = DetectionLoader(ds, cfg, False, 2, num_threads=1)
+        first = [{k: v.copy() for k, v in b.items()} for b in loader]
+        n_cold = calls[0]
+        assert n_cold == 6
+        second = list(loader)
+        assert calls[0] == n_cold, "cache missed: load_image re-called"
+        for b1, b2 in zip(first, second):
+            for k in b1:
+                np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
