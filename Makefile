@@ -12,6 +12,9 @@
 # Both tiers pin JAX to an 8-virtual-device CPU mesh via tests/conftest.py.
 
 PYTEST ?= python -m pytest
+# bash + pipefail so rc records PYTEST's status, not tee's (a /bin/sh
+# pipeline's $? is the LAST command — the old recipe always logged rc: 0).
+SHELL := /bin/bash
 
 .PHONY: test test-full
 
@@ -20,7 +23,7 @@ test:
 
 test-full:
 	@echo "suite-hash: $$(git rev-parse HEAD 2>/dev/null || echo unknown)" | tee test-full.log
-	@start=$$(date +%s); \
+	@set -o pipefail; start=$$(date +%s); \
 	$(PYTEST) tests/ -m "" -q 2>&1 | tail -5 | tee -a test-full.log; \
 	rc=$$?; \
 	end=$$(date +%s); \

@@ -192,6 +192,10 @@ def main():
         cfg.TPU.STEM_PAIR_CONV = os.environ["BENCH_STEM_PAIR"] == "1"
     if os.environ.get("BENCH_PALLAS_CONV0"):
         cfg.TPU.PALLAS_CONV0 = os.environ["BENCH_PALLAS_CONV0"] == "1"
+    if os.environ.get("BENCH_PALLAS_STEM_INT8"):
+        cfg.TPU.PALLAS_STEM_INT8 = (
+            os.environ["BENCH_PALLAS_STEM_INT8"] == "1"
+        )
     if os.environ.get("BENCH_STEM_IM2COL"):
         cfg.TPU.STEM_IM2COL_CONV0 = os.environ["BENCH_STEM_IM2COL"] == "1"
     if os.environ.get("BENCH_PALLAS_PHASEMAX"):

@@ -533,6 +533,11 @@ _C.TPU.PHASE_MAX_FORM = "slice"
 # full-res HBM intermediates). TPU backend only; falls back to the XLA
 # s2d stem elsewhere and during int8 calibration.
 _C.TPU.PALLAS_STEM = False
+# Fully-fused INT8 Pallas stage-1: XLA-side s8 im2col prep + a
+# shuffle-free two-matmul kernel with requant/pool epilogues
+# (ops/pallas/stem_int8_kernel.py, VERDICT r4 #3). Requires
+# INT8_INFERENCE + calibrated static scales; TPU backend only.
+_C.TPU.PALLAS_STEM_INT8 = False
 # Divide every VGG stage width by this (floor 8). 1 = the real VGG-16
 # (checkpoint-compatible). >1 shrinks the backbone through the identical
 # code paths — used by compile/sharding dryruns on weak CPU hosts.

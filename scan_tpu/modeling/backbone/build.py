@@ -57,6 +57,7 @@ def build_vgg_fpn_backbone(cfg, dtype=None):
             pallas_conv0=bool(cfg.TPU.get("PALLAS_CONV0", False)),
             stem_im2col=bool(cfg.TPU.get("STEM_IM2COL_CONV0", False)),
             pallas_phase_max=bool(cfg.TPU.get("PALLAS_PHASE_MAX", False)),
+            pallas_stem_int8=bool(cfg.TPU.get("PALLAS_STEM_INT8", False)),
             phase_max_form=str(cfg.TPU.get("PHASE_MAX_FORM", "slice")),
             # numerics are exactly equal either way (tests/test_s2d_stem),
             # so this is purely an execution-strategy choice: the packed

@@ -171,6 +171,10 @@ class VGG16(nn.Module):
     # int8 static path: one Pallas pass for phase-max + ReLU + the
     # successor requant (TPU.PALLAS_PHASE_MAX); TPU backend only.
     pallas_phase_max: bool = False
+    # int8 static path: fully-fused Pallas stage-1 (XLA s8 im2col prep +
+    # shuffle-free two-matmul kernel, ops/pallas/stem_int8_kernel.py);
+    # TPU backend + static scales only (TPU.PALLAS_STEM_INT8).
+    pallas_stem_int8: bool = False
     # XLA formulation of the phase-max ("slice" | "reshape" | "pair2") —
     # all bit-exact (max over the same four values, associativity only);
     # see TPU.PHASE_MAX_FORM in config/defaults.py for the measurements.
@@ -310,6 +314,29 @@ class VGG16(nn.Module):
 
         s1 = self._stem_scale("conv1_act", None)
         s_out = self._stem_scale("stem_out_act", None)
+
+        # Fused int8 Pallas stem (TPU.PALLAS_STEM_INT8): XLA-side s8
+        # im2col prep + a shuffle-free two-matmul kernel; the full-res
+        # intermediates never reach HBM (ops/pallas/stem_int8_kernel.py,
+        # VERDICT r4 #3). Exact int8_conv-chain numerics (same s8
+        # operands, s32 accumulation, same epilogue order) — parity:
+        # tests/test_stem_int8_kernel.py. Requires the static scales.
+        if (self.quant and self.pallas_stem_int8 and not calibrating_now
+                and not self.is_initializing()
+                and s0 is not None and s1 is not None and s_out is not None
+                and jax.default_backend() == "tpu" and ch == 64
+                and x.shape[1] % 4 == 0 and x.shape[2] % 2 == 0):
+            from ...ops.pallas.stem_int8_kernel import fused_stem_int8
+            from ...ops.quant import QuantizedActivation, quantize_activation
+
+            th = next(t for t in (8, 4, 2, 1) if (x.shape[1] // 2) % t == 0)
+            x_q, _ = quantize_activation(x, s0)
+            out = fused_stem_int8(
+                x_q, k0.astype(jnp.float32), b0_raw.astype(jnp.float32),
+                k1.astype(jnp.float32), b1_raw.astype(jnp.float32),
+                s0, s1, s_out, th=th,
+            )
+            return QuantizedActivation(out, s_out)
         # Static int8 path: fold ReLU + the requant into each conv's
         # epilogue BEFORE the phase-max. Requant (round/clip at a scale
         # shared by all four phase slices — w_scale tiles identically) and
