@@ -45,10 +45,19 @@ class FiniteGuard:
     """Per-step first-failure latch on ``loss_total``.
 
     The expensive full-metrics fetch stays on a 20-iter cadence, but a
-    single f32 scalar is checked EVERY step so a NaN at iter k raises at
-    iter k — not up to 19 optimizer steps later. To keep the host↔device
-    pipeline full, the transfer is started asynchronously right after the
-    step dispatch and only block-read at the end of the iteration body.
+    single f32 scalar is checked EVERY step, so a NaN at iter k raises
+    in iter k+1's loop body — not up to 19 optimizer steps later.
+
+    Pipelining matters: blocking on iter k's scalar at the END of iter
+    k's own body serializes host and device (one D2H round trip per
+    step — measured ~1.2 s/iter through this environment's dispatch
+    relay, a 4x trainer slowdown, docs/perf/PERF.md round 5). Instead
+    the loop dispatches step k+1 FIRST and then block-reads step k's
+    already-computed scalar, so the fetch latency overlaps step k+1's
+    device execution and the steady-state cost is ~0. The price is one
+    in-flight optimizer step after the poisoned one — it is dispatched
+    but its params are never consumed: the raise fires before any
+    checkpoint/validation of iter k+1 happens.
     """
 
     def __init__(self):
@@ -147,6 +156,9 @@ def do_train_da(
             forward_target=forward_target, **step_kwargs,
         )
         it = iteration + 1
+        # pipelined first-failure order: step k+1 is already dispatched,
+        # so blocking on step k's scalar overlaps device execution.
+        finite_guard.check()
         finite_guard.arm(it, metrics["loss_total"])
 
         if it % 20 == 0 or it == max_iter:
@@ -193,8 +205,7 @@ def do_train_da(
         if checkpointer is not None and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             checkpointer.save(f"model_{it:07d}", params, proto_state, opt_state, it)
 
-        finite_guard.check()
-
+    finite_guard.check()  # drain the last in-flight scalar
     if checkpointer is not None:
         checkpointer.save("model_final", params, proto_state, opt_state, max_iter)
     return params, opt_state, proto_state, best_metric
@@ -226,6 +237,7 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
             params, opt_state, proto_state, batch, **step_kwargs
         )
         it = iteration + 1
+        finite_guard.check()  # previous step's scalar (pipelined, see class)
         finite_guard.arm(it, metrics["loss_total"])
         if it % 20 == 0 or it == max_iter:
             host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -239,9 +251,9 @@ def do_train_plain(cfg, detector, train_step, params, opt_state, proto_state,
             end = time.time()
         if checkpointer is not None and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             checkpointer.save(f"model_{it:07d}", params, proto_state, opt_state, it)
-        finite_guard.check()
         if it >= max_iter:
             break
+    finite_guard.check()  # drain the last in-flight scalar
     if checkpointer is not None:
         checkpointer.save("model_final", params, proto_state, opt_state, it)
     return params, opt_state, proto_state
