@@ -329,7 +329,10 @@ class VGG16(nn.Module):
             from ...ops.pallas.stem_int8_kernel import fused_stem_int8
             from ...ops.quant import QuantizedActivation, quantize_activation
 
-            th = next(t for t in (8, 4, 2, 1) if (x.shape[1] // 2) % t == 0)
+            # tile height: th=8 blows the 16M scoped-VMEM stack at W=1344
+            # (acc0/acc1 s32 + x12 concat scale linearly with th; measured
+            # 16.76M on v5e) — th=4 is the largest that fits with headroom.
+            th = next(t for t in (4, 2, 1) if (x.shape[1] // 2) % t == 0)
             x_q, _ = quantize_activation(x, s0)
             out = fused_stem_int8(
                 x_q, k0.astype(jnp.float32), b0_raw.astype(jnp.float32),

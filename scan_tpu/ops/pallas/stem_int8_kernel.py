@@ -114,7 +114,7 @@ def _kernel(im_ref, w0_ref, w1_ref, a0_ref, b0_ref, a1_ref, b1_ref,
     )
     y = acc0.astype(jnp.float32) * a0_ref[0] + b0_ref[0]
     y = jnp.maximum(y, 0.0)
-    yq = jnp.clip(jnp.round(y / s1_ref[0]), 0.0, 127.0)
+    yq = jnp.clip(jnp.round(y / s1_ref[0, 0]), 0.0, 127.0)
     # conv1 must see ZERO at rows/cols outside conv0's real output range
     # (the prep zero-pads the input, but bias+relu make those rows
     # nonzero) — mask with the global row/col index.
@@ -149,7 +149,7 @@ def _kernel(im_ref, w0_ref, w1_ref, a0_ref, b0_ref, a1_ref, b1_ref,
         preferred_element_type=jnp.int32,
     )
     z = acc1.astype(jnp.float32) * a1_ref[0] + b1_ref[0]
-    zq = jnp.clip(jnp.round(z / so_ref[0]), 0.0, 127.0)  # ReLU = 0 clip
+    zq = jnp.clip(jnp.round(z / so_ref[0, 0]), 0.0, 127.0)  # ReLU = 0 clip
     m = jnp.maximum(
         jnp.maximum(zq[:, :64], zq[:, 64:128]),
         jnp.maximum(zq[:, 128:192], zq[:, 192:]),
